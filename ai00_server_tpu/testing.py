@@ -1,0 +1,286 @@
+"""Test fixtures: tiny random models in the internal parameter layout.
+
+Produces both (a) the stacked JAX param pytree consumed by
+``models.vN.forward`` and (b) the raw per-layer numpy dict used by the
+independent float64 reference implementations in ``tests/``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .models.info import ModelInfo, ModelVersion
+
+LORA_DIMS = {"w": 8, "a": 8, "v": 8, "g": 8, "tm": 8, "td": 8}
+
+
+def tiny_info(version: ModelVersion, num_layer=3, num_emb=32, head_size=16,
+              num_vocab=64, hidden_mult=4) -> ModelInfo:
+    if version == ModelVersion.V4:
+        num_head, hs = num_emb, 1
+    else:
+        num_head, hs = num_emb // head_size, head_size
+    return ModelInfo(
+        version=version,
+        num_layer=num_layer,
+        num_emb=num_emb,
+        num_hidden=num_emb * hidden_mult,
+        num_vocab=num_vocab,
+        num_head=num_head,
+        head_size=hs,
+    )
+
+
+def _rand(rng, *shape, scale=0.4):
+    return rng.standard_normal(shape).astype(np.float64) * scale
+
+
+def make_raw_weights(info: ModelInfo, seed=0) -> dict[str, np.ndarray]:
+    """Random weights keyed/oriented like the *math* layout (x @ W).
+
+    Keys follow the converted-safetensors naming so the same dict can be fed
+    through the loader (after orientation fixup) and the numpy references.
+    All linear weights here are (in, out).
+    """
+    rng = np.random.default_rng(seed)
+    C, V, F, L = info.num_emb, info.num_vocab, info.num_hidden, info.num_layer
+    H, N = info.num_head, info.head_size
+    ver = info.version
+    D = LORA_DIMS
+
+    w = {
+        "emb.weight": _rand(rng, V, C),
+        "blocks.0.ln0.weight": 1.0 + _rand(rng, C, scale=0.1),
+        "blocks.0.ln0.bias": _rand(rng, C, scale=0.1),
+        "ln_out.weight": 1.0 + _rand(rng, C, scale=0.1),
+        "ln_out.bias": _rand(rng, C, scale=0.1),
+        "head.weight": _rand(rng, C, V),
+    }
+    for i in range(L):
+        b = f"blocks.{i}."
+        w[b + "ln1.weight"] = 1.0 + _rand(rng, C, scale=0.1)
+        w[b + "ln1.bias"] = _rand(rng, C, scale=0.1)
+        w[b + "ln2.weight"] = 1.0 + _rand(rng, C, scale=0.1)
+        w[b + "ln2.bias"] = _rand(rng, C, scale=0.1)
+
+        a = b + "att."
+        w[a + "receptance.weight"] = _rand(rng, C, C)
+        w[a + "key.weight"] = _rand(rng, C, C)
+        w[a + "value.weight"] = _rand(rng, C, C)
+        w[a + "output.weight"] = _rand(rng, C, C)
+
+        if ver == ModelVersion.V7:
+            for nm in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g"):
+                w[a + nm] = _rand(rng, C, scale=0.3)
+            w[a + "w0"] = _rand(rng, C, scale=0.5)
+            w[a + "w1"] = _rand(rng, C, D["w"])
+            w[a + "w2"] = _rand(rng, D["w"], C)
+            w[a + "a0"] = _rand(rng, C, scale=0.3)
+            w[a + "a1"] = _rand(rng, C, D["a"])
+            w[a + "a2"] = _rand(rng, D["a"], C)
+            if i > 0:
+                w[a + "v0"] = _rand(rng, C, scale=0.3)
+                w[a + "v1"] = _rand(rng, C, D["v"])
+                w[a + "v2"] = _rand(rng, D["v"], C)
+            w[a + "g1"] = _rand(rng, C, D["g"])
+            w[a + "g2"] = _rand(rng, D["g"], C)
+            w[a + "k_k"] = 0.5 + _rand(rng, C, scale=0.2)
+            w[a + "k_a"] = 0.5 + _rand(rng, C, scale=0.2)
+            w[a + "r_k"] = _rand(rng, H, N, scale=0.3)
+            w[a + "ln_x.weight"] = 1.0 + _rand(rng, C, scale=0.1)
+            w[a + "ln_x.bias"] = _rand(rng, C, scale=0.1)
+        elif ver == ModelVersion.V6:
+            w[a + "time_mix_x"] = _rand(rng, C, scale=0.3)
+            for nm in ("time_mix_w", "time_mix_k", "time_mix_v",
+                       "time_mix_r", "time_mix_g"):
+                w[a + nm] = _rand(rng, C, scale=0.3)
+            w[a + "time_mix_w1"] = _rand(rng, C, 5 * D["tm"])
+            w[a + "time_mix_w2"] = _rand(rng, 5, D["tm"], C)
+            w[a + "time_decay"] = _rand(rng, C, scale=0.5)
+            w[a + "time_decay_w1"] = _rand(rng, C, D["td"])
+            w[a + "time_decay_w2"] = _rand(rng, D["td"], C)
+            w[a + "time_first"] = _rand(rng, H, N, scale=0.5)
+            w[a + "gate.weight"] = _rand(rng, C, C)
+            w[a + "ln_x.weight"] = 1.0 + _rand(rng, C, scale=0.1)
+            w[a + "ln_x.bias"] = _rand(rng, C, scale=0.1)
+        elif ver == ModelVersion.V5:
+            for nm in ("time_mix_k", "time_mix_v", "time_mix_r", "time_mix_g"):
+                w[a + nm] = 0.5 + _rand(rng, C, scale=0.2)
+            w[a + "time_decay"] = _rand(rng, H, N, scale=0.5)
+            w[a + "time_first"] = _rand(rng, H, N, scale=0.5)
+            w[a + "gate.weight"] = _rand(rng, C, C)
+            w[a + "ln_x.weight"] = 1.0 + _rand(rng, C, scale=0.1)
+            w[a + "ln_x.bias"] = _rand(rng, C, scale=0.1)
+        else:  # V4
+            for nm in ("time_mix_k", "time_mix_v", "time_mix_r"):
+                w[a + nm] = 0.5 + _rand(rng, C, scale=0.2)
+            w[a + "time_decay"] = _rand(rng, C, scale=0.5)
+            w[a + "time_first"] = _rand(rng, C, scale=0.5)
+
+        f = b + "ffn."
+        w[f + "key.weight"] = _rand(rng, C, F)
+        w[f + "value.weight"] = _rand(rng, F, C)
+        if ver == ModelVersion.V7:
+            w[f + "x_k"] = _rand(rng, C, scale=0.3)
+        elif ver == ModelVersion.V6:
+            w[f + "time_mix_k"] = _rand(rng, C, scale=0.3)
+            w[f + "time_mix_r"] = _rand(rng, C, scale=0.3)
+            w[f + "receptance.weight"] = _rand(rng, C, C)
+        else:
+            w[f + "time_mix_k"] = 0.5 + _rand(rng, C, scale=0.2)
+            w[f + "time_mix_r"] = 0.5 + _rand(rng, C, scale=0.2)
+            w[f + "receptance.weight"] = _rand(rng, C, C)
+    return w
+
+
+def make_params(info: ModelInfo, raw: dict[str, np.ndarray], dtype=np.float32,
+                group_sizes: list[int] | None = None):
+    """Stack raw math-oriented weights into the forward pytree."""
+    import jax.numpy as jnp
+
+    C = info.num_emb
+    ver = info.version
+    L = info.num_layer
+    D = LORA_DIMS
+    if group_sizes is None:
+        group_sizes = [L]
+    assert sum(group_sizes) == L
+
+    # Fold ln0 into the embedding table (per-row layernorm, done once).
+    emb = raw["emb.weight"].astype(np.float64)
+    mean = emb.mean(-1, keepdims=True)
+    var = emb.var(-1, keepdims=True)
+    emb = (emb - mean) / np.sqrt(var + 1e-5)
+    emb = emb * raw["blocks.0.ln0.weight"] + raw["blocks.0.ln0.bias"]
+
+    def layer_dict(i):
+        b = f"blocks.{i}."
+        a = b + "att."
+        f = b + "ffn."
+        d = {
+            "ln1_w": raw[b + "ln1.weight"], "ln1_b": raw[b + "ln1.bias"],
+            "ln2_w": raw[b + "ln2.weight"], "ln2_b": raw[b + "ln2.bias"],
+        }
+        if ver == ModelVersion.V7:
+            att = {k: raw[a + k] for k in (
+                "x_r", "x_w", "x_k", "x_v", "x_a", "x_g",
+                "w0", "w1", "w2", "a0", "a1", "a2", "g1", "g2",
+                "k_k", "k_a", "r_k")}
+            if i > 0:
+                att.update({k: raw[a + k] for k in ("v0", "v1", "v2")})
+            else:
+                att.update({
+                    "v0": np.zeros(C), "v1": np.zeros((C, D["v"])),
+                    "v2": np.zeros((D["v"], C))})
+            att.update({
+                "receptance": raw[a + "receptance.weight"],
+                "key": raw[a + "key.weight"],
+                "value": raw[a + "value.weight"],
+                "output": raw[a + "output.weight"],
+                "ln_x_w": raw[a + "ln_x.weight"],
+                "ln_x_b": raw[a + "ln_x.bias"],
+            })
+            ffn = {
+                "x_k": raw[f + "x_k"],
+                "key": raw[f + "key.weight"],
+                "value": raw[f + "value.weight"],
+            }
+        elif ver == ModelVersion.V6:
+            att = {k.replace("time_", ""): raw[a + k] for k in (
+                "time_mix_x", "time_mix_w", "time_mix_k", "time_mix_v",
+                "time_mix_r", "time_mix_g", "time_mix_w1", "time_mix_w2",
+                "time_decay", "time_decay_w1", "time_decay_w2", "time_first")}
+            att.update({
+                "receptance": raw[a + "receptance.weight"],
+                "key": raw[a + "key.weight"],
+                "value": raw[a + "value.weight"],
+                "gate": raw[a + "gate.weight"],
+                "output": raw[a + "output.weight"],
+                "ln_x_w": raw[a + "ln_x.weight"],
+                "ln_x_b": raw[a + "ln_x.bias"],
+            })
+            ffn = {
+                "mix_k": raw[f + "time_mix_k"],
+                "mix_r": raw[f + "time_mix_r"],
+                "key": raw[f + "key.weight"],
+                "receptance": raw[f + "receptance.weight"],
+                "value": raw[f + "value.weight"],
+            }
+        elif ver == ModelVersion.V5:
+            att = {
+                "time_mix_k": raw[a + "time_mix_k"],
+                "time_mix_v": raw[a + "time_mix_v"],
+                "time_mix_r": raw[a + "time_mix_r"],
+                "time_mix_g": raw[a + "time_mix_g"],
+                "time_decay": raw[a + "time_decay"],
+                "time_first": raw[a + "time_first"],
+                "receptance": raw[a + "receptance.weight"],
+                "key": raw[a + "key.weight"],
+                "value": raw[a + "value.weight"],
+                "gate": raw[a + "gate.weight"],
+                "output": raw[a + "output.weight"],
+                "ln_x_w": raw[a + "ln_x.weight"],
+                "ln_x_b": raw[a + "ln_x.bias"],
+            }
+            ffn = {
+                "time_mix_k": raw[f + "time_mix_k"],
+                "time_mix_r": raw[f + "time_mix_r"],
+                "key": raw[f + "key.weight"],
+                "receptance": raw[f + "receptance.weight"],
+                "value": raw[f + "value.weight"],
+            }
+        else:  # V4
+            att = {
+                "time_mix_k": raw[a + "time_mix_k"],
+                "time_mix_v": raw[a + "time_mix_v"],
+                "time_mix_r": raw[a + "time_mix_r"],
+                "time_decay": raw[a + "time_decay"],
+                "time_first": raw[a + "time_first"],
+                "receptance": raw[a + "receptance.weight"],
+                "key": raw[a + "key.weight"],
+                "value": raw[a + "value.weight"],
+                "output": raw[a + "output.weight"],
+            }
+            ffn = {
+                "time_mix_k": raw[f + "time_mix_k"],
+                "time_mix_r": raw[f + "time_mix_r"],
+                "key": raw[f + "key.weight"],
+                "receptance": raw[f + "receptance.weight"],
+                "value": raw[f + "value.weight"],
+            }
+        d["att"] = att
+        d["ffn"] = ffn
+        return d
+
+    layers = [layer_dict(i) for i in range(L)]
+
+    import jax
+
+    groups = []
+    offset = 0
+    for size in group_sizes:
+        chunk = layers[offset : offset + size]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs).astype(dtype)), *chunk
+        )
+        groups.append({
+            "layer_index": jnp.arange(offset, offset + size, dtype=jnp.int32),
+            "layers": stacked,
+        })
+        offset += size
+
+    params = {
+        "emb": jnp.asarray(emb.astype(dtype)),
+        "groups": groups,
+        "ln_out_w": jnp.asarray(raw["ln_out.weight"].astype(dtype)),
+        "ln_out_b": jnp.asarray(raw["ln_out.bias"].astype(dtype)),
+        "head": jnp.asarray(raw["head.weight"].astype(dtype)),
+    }
+    return params
+
+
+def make_tiny_model(version=ModelVersion.V7, seed=0, dtype=np.float32, **kw):
+    info = tiny_info(version, **kw)
+    raw = make_raw_weights(info, seed=seed)
+    params = make_params(info, raw, dtype=dtype)
+    return info, raw, params
