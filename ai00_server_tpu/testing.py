@@ -134,149 +134,16 @@ def make_raw_weights(info: ModelInfo, seed=0) -> dict[str, np.ndarray]:
 
 
 def make_params(info: ModelInfo, raw: dict[str, np.ndarray], dtype=np.float32,
-                group_sizes: list[int] | None = None):
-    """Stack raw math-oriented weights into the forward pytree."""
-    import jax.numpy as jnp
+                group_sizes: list[int] | None = None, quant: dict | None = None):
+    """Stack raw math-oriented weights into the forward pytree.
 
-    C = info.num_emb
-    ver = info.version
-    L = info.num_layer
-    D = LORA_DIMS
-    if group_sizes is None:
-        group_sizes = [L]
-    assert sum(group_sizes) == L
+    Thin wrapper over :func:`ai00_server_tpu.loader.stack_params` — the test
+    fixtures and the production loader share one stacking path.
+    """
+    from .loader import stack_params
 
-    # Fold ln0 into the embedding table (per-row layernorm, done once).
-    emb = raw["emb.weight"].astype(np.float64)
-    mean = emb.mean(-1, keepdims=True)
-    var = emb.var(-1, keepdims=True)
-    emb = (emb - mean) / np.sqrt(var + 1e-5)
-    emb = emb * raw["blocks.0.ln0.weight"] + raw["blocks.0.ln0.bias"]
-
-    def layer_dict(i):
-        b = f"blocks.{i}."
-        a = b + "att."
-        f = b + "ffn."
-        d = {
-            "ln1_w": raw[b + "ln1.weight"], "ln1_b": raw[b + "ln1.bias"],
-            "ln2_w": raw[b + "ln2.weight"], "ln2_b": raw[b + "ln2.bias"],
-        }
-        if ver == ModelVersion.V7:
-            att = {k: raw[a + k] for k in (
-                "x_r", "x_w", "x_k", "x_v", "x_a", "x_g",
-                "w0", "w1", "w2", "a0", "a1", "a2", "g1", "g2",
-                "k_k", "k_a", "r_k")}
-            if i > 0:
-                att.update({k: raw[a + k] for k in ("v0", "v1", "v2")})
-            else:
-                att.update({
-                    "v0": np.zeros(C), "v1": np.zeros((C, D["v"])),
-                    "v2": np.zeros((D["v"], C))})
-            att.update({
-                "receptance": raw[a + "receptance.weight"],
-                "key": raw[a + "key.weight"],
-                "value": raw[a + "value.weight"],
-                "output": raw[a + "output.weight"],
-                "ln_x_w": raw[a + "ln_x.weight"],
-                "ln_x_b": raw[a + "ln_x.bias"],
-            })
-            ffn = {
-                "x_k": raw[f + "x_k"],
-                "key": raw[f + "key.weight"],
-                "value": raw[f + "value.weight"],
-            }
-        elif ver == ModelVersion.V6:
-            att = {k.replace("time_", ""): raw[a + k] for k in (
-                "time_mix_x", "time_mix_w", "time_mix_k", "time_mix_v",
-                "time_mix_r", "time_mix_g", "time_mix_w1", "time_mix_w2",
-                "time_decay", "time_decay_w1", "time_decay_w2", "time_first")}
-            att.update({
-                "receptance": raw[a + "receptance.weight"],
-                "key": raw[a + "key.weight"],
-                "value": raw[a + "value.weight"],
-                "gate": raw[a + "gate.weight"],
-                "output": raw[a + "output.weight"],
-                "ln_x_w": raw[a + "ln_x.weight"],
-                "ln_x_b": raw[a + "ln_x.bias"],
-            })
-            ffn = {
-                "mix_k": raw[f + "time_mix_k"],
-                "mix_r": raw[f + "time_mix_r"],
-                "key": raw[f + "key.weight"],
-                "receptance": raw[f + "receptance.weight"],
-                "value": raw[f + "value.weight"],
-            }
-        elif ver == ModelVersion.V5:
-            att = {
-                "time_mix_k": raw[a + "time_mix_k"],
-                "time_mix_v": raw[a + "time_mix_v"],
-                "time_mix_r": raw[a + "time_mix_r"],
-                "time_mix_g": raw[a + "time_mix_g"],
-                "time_decay": raw[a + "time_decay"],
-                "time_first": raw[a + "time_first"],
-                "receptance": raw[a + "receptance.weight"],
-                "key": raw[a + "key.weight"],
-                "value": raw[a + "value.weight"],
-                "gate": raw[a + "gate.weight"],
-                "output": raw[a + "output.weight"],
-                "ln_x_w": raw[a + "ln_x.weight"],
-                "ln_x_b": raw[a + "ln_x.bias"],
-            }
-            ffn = {
-                "time_mix_k": raw[f + "time_mix_k"],
-                "time_mix_r": raw[f + "time_mix_r"],
-                "key": raw[f + "key.weight"],
-                "receptance": raw[f + "receptance.weight"],
-                "value": raw[f + "value.weight"],
-            }
-        else:  # V4
-            att = {
-                "time_mix_k": raw[a + "time_mix_k"],
-                "time_mix_v": raw[a + "time_mix_v"],
-                "time_mix_r": raw[a + "time_mix_r"],
-                "time_decay": raw[a + "time_decay"],
-                "time_first": raw[a + "time_first"],
-                "receptance": raw[a + "receptance.weight"],
-                "key": raw[a + "key.weight"],
-                "value": raw[a + "value.weight"],
-                "output": raw[a + "output.weight"],
-            }
-            ffn = {
-                "time_mix_k": raw[f + "time_mix_k"],
-                "time_mix_r": raw[f + "time_mix_r"],
-                "key": raw[f + "key.weight"],
-                "receptance": raw[f + "receptance.weight"],
-                "value": raw[f + "value.weight"],
-            }
-        d["att"] = att
-        d["ffn"] = ffn
-        return d
-
-    layers = [layer_dict(i) for i in range(L)]
-
-    import jax
-
-    groups = []
-    offset = 0
-    for size in group_sizes:
-        chunk = layers[offset : offset + size]
-        stacked = jax.tree.map(
-            lambda *xs: jnp.asarray(np.stack(xs).astype(dtype)), *chunk
-        )
-        groups.append({
-            "layer_index": jnp.arange(offset, offset + size, dtype=jnp.int32),
-            "layers": stacked,
-        })
-        offset += size
-
-    params = {
-        "emb": jnp.asarray(emb.astype(dtype)),
-        "groups": groups,
-        "ln_out_w": jnp.asarray(raw["ln_out.weight"].astype(dtype)),
-        "ln_out_b": jnp.asarray(raw["ln_out.bias"].astype(dtype)),
-        "head": jnp.asarray(raw["head.weight"].astype(dtype)),
-    }
-    return params
+    return stack_params(info, raw, dtype=dtype, group_sizes=group_sizes,
+                        quant=quant)
 
 
 def make_tiny_model(version=ModelVersion.V7, seed=0, dtype=np.float32, **kw):
