@@ -1,0 +1,322 @@
+"""Batched TPU inference engine: fixed-shape compiled steps over a state pool.
+
+Replaces the reference's L1/L2 GPU plumbing (web-rwkv ``Runtime::infer`` +
+the ``InferBatch``/``SoftmaxBatch`` channel pumps, crates/ai00-core/src/
+run.rs:334-363,1072-1190) with a TPU-native design:
+
+* All ``max_batch`` request slots live in ONE state-pool pytree in HBM,
+  leading axes ``(L, B, ...)``.  A step consumes a ``(B, T)`` token block
+  (T = 1 for pure decode, T = ``token_chunk_size`` when any row prefills)
+  and donates the pool — decode is a closed loop on device.
+* Sampling runs inside the same compiled step (``ops.sampling``): no 65k
+  logits download, no CPU sort; only the sampled ``(B,)`` int32 tokens and
+  a tiny "which rows sampled" mask cross the device boundary.
+* Per-row logit bias and BNF allow-masks are device pools updated only
+  when they change.
+* Shapes are bucketed (T ∈ {1, chunk}); each bucket compiles once.
+
+The scheduler (runtime.py) drives this engine from asyncio; the engine
+itself is synchronous and owns all device buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .loader import LoadedModel
+from .models import get_version_module
+from .models.common import take_last_valid
+from .ops import sampling
+
+
+@dataclass
+class StepResult:
+    tokens: np.ndarray        # (B,) int32, valid where sample_mask
+    sampled_probs: np.ndarray  # (B,) f32: prob of each sampled token
+    logits: np.ndarray | None  # (B, V) f32 raw logits (want_logits only)
+
+
+class Engine:
+    """Owner of the device-resident pools for one loaded model."""
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        max_batch: int = 8,
+        token_chunk_size: int = 128,
+        state_dtype=jnp.float32,
+    ):
+        self.model = model
+        self.info = model.info
+        self.module = get_version_module(model.info.version)
+        self.max_batch = int(max_batch)
+        self.token_chunk_size = int(token_chunk_size)
+        self.state_dtype = state_dtype
+        self.vocab = model.info.num_vocab
+
+        B, V = self.max_batch, self.vocab
+        self.state_pool = self.module.init_state(self.info, B, state_dtype)
+        self.sampler_state = sampling.init_sampler_state(B, V)
+        self.sampler_params_host = sampling.make_params(B)
+        self.bias_pool = jnp.zeros((B, V), jnp.float32)
+        self.mask_pool = jnp.ones((B, V), jnp.bool_)
+        self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
+        self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        self._lock = threading.Lock()
+
+        # T-bucketed compiled step fns.
+        self._steps: dict[int, callable] = {}
+
+    # ------------------------------------------------------------------
+    # State pool row management
+    # ------------------------------------------------------------------
+
+    def fresh_row_state(self):
+        """A batch-1 initial state (embedded time_state applied if any)."""
+        s = self.module.init_state(self.info, 1, self.state_dtype)
+        if self.model.init_wkv is not None and "wkv" in s:
+            wkv = jnp.asarray(self.model.init_wkv, self.state_dtype)
+            if self.info.version.value == "V7":
+                # v7 state is (v-dim, k-dim); files store (k, v).
+                wkv = jnp.swapaxes(wkv, -1, -2)
+            s["wkv"] = wkv[:, None]
+        return s
+
+    @functools.cached_property
+    def _write_row(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_row(pool, row, b):
+            return jax.tree.map(
+                lambda p, r: jax.lax.dynamic_update_index_in_dim(
+                    p, r[:, 0].astype(p.dtype), b, 1
+                ),
+                pool, row,
+            )
+        return write_row
+
+    @functools.cached_property
+    def _read_row(self):
+        @jax.jit
+        def read_row(pool, b):
+            return jax.tree.map(
+                lambda p: jax.lax.dynamic_index_in_dim(p, b, 1, keepdims=True),
+                pool,
+            )
+        return read_row
+
+    def load_row_state(self, b: int, row_state=None) -> None:
+        """Install a batch-1 state pytree (or a fresh init state) in row b."""
+        if row_state is None:
+            row_state = self.fresh_row_state()
+        self.state_pool = self._write_row(
+            self.state_pool, row_state, jnp.int32(b))
+
+    def read_row_state(self, b: int):
+        """Device->host copy of row b's state as a batch-1 pytree."""
+        row = self._read_row(self.state_pool, jnp.int32(b))
+        return jax.tree.map(np.asarray, row)
+
+    # ------------------------------------------------------------------
+    # Sampler / bias / mask row management
+    # ------------------------------------------------------------------
+
+    def set_row_sampler(self, b: int, params: dict, prompt_tokens=()) -> None:
+        """Configure row b's sampler params + penalty init from the prompt
+        (Sampler::init semantics, nucleus.rs:48-58)."""
+        for k, v in params.items():
+            self.sampler_params_host[k][b] = v
+        pen, seen = sampling.init_penalties_host(
+            list(prompt_tokens), self.vocab,
+            float(self.sampler_params_host["presence"][b]),
+            float(self.sampler_params_host["frequency"][b]),
+            float(self.sampler_params_host["decay"][b]),
+        )
+        ms0 = 2.0 * float(self.sampler_params_host["miro_tau"][b])
+        self.sampler_state = _set_sampler_row(
+            self.sampler_state, jnp.asarray(pen), jnp.asarray(seen),
+            jnp.float32(ms0), jnp.int32(b))
+
+    def set_row_bias(self, b: int, bias: np.ndarray | None) -> None:
+        vec = np.zeros(self.vocab, np.float32) if bias is None else bias
+        self.bias_pool = _set_pool_row(
+            self.bias_pool, jnp.asarray(vec, jnp.float32), jnp.int32(b))
+
+    def set_row_mask(self, b: int, allowed: np.ndarray | None) -> None:
+        if allowed is None:
+            vec = np.ones(self.vocab, np.bool_)
+            self.mask_active[b] = False
+        else:
+            vec = allowed.astype(np.bool_)
+            self.mask_active[b] = True
+        self.mask_pool = _set_pool_row(
+            self.mask_pool, jnp.asarray(vec), jnp.int32(b))
+
+    # ------------------------------------------------------------------
+    # The step
+    # ------------------------------------------------------------------
+
+    def _get_step(self, T: int, want_logits: bool):
+        key = (T, want_logits)
+        fn = self._steps.get(key)
+        if fn is None:
+            module = self.module
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2),
+                               static_argnums=(10,))
+            def step(params, state, sampler_state, tokens, lengths,
+                     sample_mask, sparams, bias, mask, rng, ret_logits):
+                hidden, new_state = module.forward(
+                    params, state, tokens, lengths)
+                last = take_last_valid(hidden, lengths)  # (B, C)
+                logits = jnp.dot(
+                    last, params["head"].astype(last.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                rand = jax.random.uniform(
+                    rng, (tokens.shape[0],), jnp.float32)
+                toks, probs, new_ss = sampling.sample_with_rand(
+                    rand, logits, sparams, sampler_state,
+                    bias=bias, allowed_mask=mask)
+                # Rows not sampling keep their sampler state untouched.
+                new_ss = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        sample_mask.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        new, old),
+                    new_ss, sampler_state)
+                sp = probs[jnp.arange(toks.shape[0]), toks]
+                out_logits = logits if ret_logits else None
+                return toks, sp, new_state, new_ss, out_logits
+
+            fn = step
+            self._steps[key] = fn
+        return fn
+
+    def step(self, tokens: np.ndarray, lengths: np.ndarray,
+             sample_mask: np.ndarray, want_logits: bool = False) -> StepResult:
+        """Run one merged batch step.
+
+        tokens: (B, T) int32 (suffix-padded); lengths: (B,) valid counts
+        (0 = idle row); sample_mask: (B,) bool — rows that should draw a
+        token this step (decode rows + prefill rows on their final chunk).
+        ``want_logits`` additionally downloads the (B, V) raw logits (used
+        when a row finishes prefill: cache fast path + choose head probs).
+        """
+        with self._lock:
+            B, T = tokens.shape
+            assert B == self.max_batch
+            self._rng, sub = jax.random.split(self._rng)
+            fn = self._get_step(T, want_logits)
+            sparams = {k: jnp.asarray(v)
+                       for k, v in self.sampler_params_host.items()}
+            toks, sp, self.state_pool, self.sampler_state, logits = fn(
+                self.model.params, self.state_pool, self.sampler_state,
+                jnp.asarray(tokens, jnp.int32),
+                jnp.asarray(lengths, jnp.int32),
+                jnp.asarray(sample_mask, jnp.bool_),
+                sparams, self.bias_pool, self.mask_pool, sub, want_logits)
+            return StepResult(
+                tokens=np.asarray(toks),
+                sampled_probs=np.asarray(sp),
+                logits=np.asarray(logits) if logits is not None else None,
+            )
+
+    def sample_only(self, b: int, logits: np.ndarray) -> int:
+        """Sample row ``b`` from externally-provided logits (cache fast
+        path: a fully-cached prompt supplies its stored prompt-end logits
+        instead of re-running prefill).  Updates row b's sampler state."""
+        with self._lock:
+            B = self.max_batch
+            full = np.zeros((B, self.vocab), np.float32)
+            full[b] = logits
+            mask = np.zeros(B, np.bool_)
+            mask[b] = True
+            self._rng, sub = jax.random.split(self._rng)
+            sparams = {k: jnp.asarray(v)
+                       for k, v in self.sampler_params_host.items()}
+            toks, _, self.sampler_state = _sample_only_jit(
+                sub, jnp.asarray(full), sparams, self.sampler_state,
+                self.bias_pool, self.mask_pool, jnp.asarray(mask))
+            return int(np.asarray(toks)[b])
+
+    # ------------------------------------------------------------------
+    # Scoring (choose / perplexity, RnnOption::Full equivalent)
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _score(self):
+        module = self.module
+
+        @jax.jit
+        def score(params, state, tokens, lengths):
+            """Per-position transition log-probs (RnnOption::Full).
+
+            Feeds ``tokens`` from ``state`` and returns
+            ``lp[i] = ln softmax(logits_i)[tokens[i+1]]`` for i in 0..T-2
+            (run.rs:699-755 collects exactly these; softmax over RAW
+            logits, no sampler transforms).
+            """
+            hidden, new_state = module.forward(params, state, tokens, lengths)
+            logits = jnp.dot(
+                hidden, params["head"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )  # (B, T, V)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nxt = tokens[:, 1:]  # (B, T-1)
+            pos_lp = jnp.take_along_axis(
+                logp[:, :-1], nxt[..., None], axis=-1)[..., 0]
+            del new_state  # scoring never advances the pool
+            return pos_lp
+
+        return score
+
+    def position_logps(self, tokens: list[int], b: int | None = None,
+                       state=None) -> np.ndarray:
+        """``ln p(tokens[i] | tokens[:i])`` for i in 1..n-1, scored from row
+        ``b``'s current state (or an explicit batch-1 ``state`` pytree).
+        The pool state is NOT advanced (choose-flow read/write bracketing,
+        run.rs:937,977)."""
+        if state is None:
+            state = self._read_row(self.state_pool, jnp.int32(b))
+        else:
+            state = jax.tree.map(
+                lambda x: jnp.asarray(x, self.state_dtype), state)
+        t = np.asarray(tokens, np.int32)[None]
+        lp = self._score(
+            self.model.params, state, jnp.asarray(t),
+            jnp.array([len(tokens)], jnp.int32))
+        return np.asarray(lp[0])
+
+
+@functools.partial(jax.jit, donate_argnums=(3,))
+def _sample_only_jit(rng, logits, sparams, sampler_state, bias, mask,
+                     row_mask):
+    rand = jax.random.uniform(rng, (logits.shape[0],), jnp.float32)
+    toks, probs, new_ss = sampling.sample_with_rand(
+        rand, logits, sparams, sampler_state, bias=bias, allowed_mask=mask)
+    new_ss = jax.tree.map(
+        lambda new, old: jnp.where(
+            row_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+        new_ss, sampler_state)
+    return toks, probs, new_ss
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_pool_row(pool, vec, b):
+    return jax.lax.dynamic_update_index_in_dim(pool, vec.astype(pool.dtype), b, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_sampler_row(ss, pen, seen, ms, b):
+    return {
+        "penalties": jax.lax.dynamic_update_index_in_dim(
+            ss["penalties"], pen, b, 0),
+        "seen": jax.lax.dynamic_update_index_in_dim(ss["seen"], seen, b, 0),
+        "max_surprise": jax.lax.dynamic_update_index_in_dim(
+            ss["max_surprise"], ms, b, 0),
+    }

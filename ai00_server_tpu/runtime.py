@@ -1,0 +1,742 @@
+"""Batched generation runtime: slots, prefix cache, generation loop.
+
+Re-designs the reference's L2 tier (crates/ai00-core/src/run.rs) for the
+TPU engine:
+
+* Continuous batching over ``max_batch`` slots.  The reference wires per-
+  slot tokio tasks to channel pumps; here ONE async driver loop gathers all
+  runnable slots each iteration, builds a merged fixed-shape ``(B, T)``
+  step, and dispatches it to the Engine in a thread-pool executor.
+* Slot selection policy Continue > Empty > Back (run.rs:304-331,503-532):
+  prefer a slot whose resident state already matches a strict prompt
+  prefix, then an empty slot, then preempt the least-recently-used idle
+  slot.
+* Prompt-prefix state cache: per-StateId token-trie of host-RAM state
+  snapshots (plus prompt-end logits for the exact-hit fast path) with LRU
+  eviction at 256 items and a >=32-token insert threshold (run.rs:40-41),
+  plus in-flight futures so concurrent identical prompts await one prefill
+  (run.rs:191-205).
+* Per-token post-processing: UTF-8-safe streaming, incremental stop-word
+  hold-back (run.rs:865-932), BNF mask scheduling, max_tokens / EOS
+  handling, token/duration accounting.
+* Choose (perplexity classification) and State extraction arms
+  (run.rs:936-1010).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+import numpy as np
+
+from .engine import Engine
+from .ops import sampling
+from .tokenizer import Tokenizer, Utf8Buffer
+
+MAX_CACHE_ITEMS = 256          # run.rs:41
+MIN_PROMPT_CACHE_TOKENS = 32   # run.rs:40
+END_OF_TEXT = 0
+
+
+# ---------------------------------------------------------------------------
+# Request/response types (reference: lib.rs:46-53, lib.rs:175-198)
+# ---------------------------------------------------------------------------
+
+
+class GenerateKind(Enum):
+    GENERATE = "generate"
+    CHOOSE = "choose"
+    STATE = "state"
+
+
+@dataclass
+class SamplerSpec:
+    """Host-side sampler config -> engine row params."""
+    kind: int = sampling.KIND_NUCLEUS
+    top_p: float = 0.5
+    top_k: int = 128
+    temperature: float = 1.0
+    presence_penalty: float = 0.3
+    frequency_penalty: float = 0.3
+    penalty_decay: float = 0.99654026
+    miro_tau: float = 3.0
+    miro_rate: float = 0.1
+
+    def row_params(self) -> dict:
+        return {
+            "kind": self.kind,
+            "top_p": self.top_p,
+            "top_k": min(self.top_k, sampling.TOP_K_CAP) or sampling.TOP_K_CAP,
+            "temperature": self.temperature,
+            "presence": self.presence_penalty,
+            "frequency": self.frequency_penalty,
+            "decay": self.penalty_decay,
+            "miro_tau": self.miro_tau,
+            "miro_rate": self.miro_rate,
+        }
+
+
+@dataclass
+class GenerateRequest:
+    prompt: str = ""
+    model_text: str = ""           # model-authored text for penalty init
+    max_tokens: int = 256
+    stop: list[str] = field(default_factory=list)
+    bias: dict[int, float] = field(default_factory=dict)
+    sampler: SamplerSpec = field(default_factory=SamplerSpec)
+    bnf_schema: Optional[str] = None
+    state_id: Optional[str] = None  # initial-state UUID ("default" = init)
+    kind: GenerateKind = GenerateKind.GENERATE
+    choices: list[str] = field(default_factory=list)
+    calibrate: bool = False
+
+
+class FinishReason(str, Enum):
+    STOP = "stop"
+    LENGTH = "length"
+    ABORT = "abort"
+    NULL = "null"
+
+
+@dataclass
+class TokenCounter:
+    prompt: int = 0
+    completion: int = 0
+    duration: float = 0.0
+
+    @property
+    def total(self) -> int:
+        return self.prompt + self.completion
+
+
+class GenerateHandle:
+    """Per-request message stream.
+
+    Messages:
+      ("start",) ("content", str) ("stop", FinishReason, TokenCounter)
+      ("choose", list[float]) ("embed", state_pytree) ("done",)
+    """
+
+    def __init__(self):
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.aborted = False
+
+    def cancel(self) -> None:
+        self.aborted = True
+
+    async def __aiter__(self):
+        while True:
+            msg = await self.queue.get()
+            yield msg
+            if msg[0] == "done":
+                return
+
+
+# ---------------------------------------------------------------------------
+# Prompt-prefix trie cache (reference: run.rs:231-273, 443-485)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CachedItem:
+    state: Any                 # host batch-1 state pytree
+    logits: np.ndarray | None  # (V,) prompt-end logits (exact-hit fast path)
+    tokens: tuple[int, ...]
+    instant: float = field(default_factory=time.monotonic)
+
+
+class _TrieNode:
+    __slots__ = ("children", "item")
+
+    def __init__(self):
+        self.children: dict[int, _TrieNode] = {}
+        self.item: CachedItem | asyncio.Future | None = None
+
+
+class StateCache:
+    """Token-trie of state snapshots for ONE initial-state id."""
+
+    def __init__(self):
+        self.root = _TrieNode()
+        self.count = 0
+
+    def longest_prefix(self, tokens: tuple[int, ...], strict: bool = False):
+        """Deepest ancestor of ``tokens`` holding an item.  ``strict``
+        restricts to proper prefixes.  Returns (prefix_len, item) or
+        (0, None)."""
+        node = self.root
+        best = (0, None)
+        limit = len(tokens) - 1 if strict else len(tokens)
+        for i, t in enumerate(tokens):
+            if i >= limit + 1:
+                break
+            node = node.children.get(t)
+            if node is None:
+                break
+            if node.item is not None and (i + 1) <= limit:
+                best = (i + 1, node.item)
+        return best
+
+    def insert(self, tokens: tuple[int, ...], item) -> None:
+        node = self.root
+        for t in tokens:
+            nxt = node.children.get(t)
+            if nxt is None:
+                nxt = _TrieNode()
+                node.children[t] = nxt
+            node = nxt
+        if node.item is None:
+            self.count += 1
+        node.item = item
+
+    def remove(self, tokens: tuple[int, ...]) -> None:
+        node = self.root
+        for t in tokens:
+            node = node.children.get(t)
+            if node is None:
+                return
+        if node.item is not None:
+            node.item = None
+            self.count -= 1
+
+    def entries(self):
+        out = []
+
+        def walk(node, prefix):
+            if node.item is not None:
+                out.append((tuple(prefix), node.item))
+            for t, child in node.children.items():
+                prefix.append(t)
+                walk(child, prefix)
+                prefix.pop()
+
+        walk(self.root, [])
+        return out
+
+    def maintain(self) -> None:
+        """LRU-evict ready items beyond MAX_CACHE_ITEMS (run.rs:238-257)."""
+        if self.count <= MAX_CACHE_ITEMS:
+            return
+        ready = [(k, v) for k, v in self.entries()
+                 if isinstance(v, CachedItem)]
+        ready.sort(key=lambda kv: kv[1].instant)
+        for k, _ in ready[: self.count - MAX_CACHE_ITEMS]:
+            self.remove(k)
+
+
+# ---------------------------------------------------------------------------
+# Stop-word incremental matcher (reference: run.rs:899-932)
+# ---------------------------------------------------------------------------
+
+
+class StopMatcher:
+    """Byte-level hold-back matcher: emits only bytes that can no longer be
+    part of a stop word; signals a hit when a stop word completes."""
+
+    def __init__(self, stops: list[str]):
+        self.stops = [s.encode("utf-8") for s in stops if s]
+        self.held = b""
+
+    def push(self, data: bytes) -> tuple[bytes, bool]:
+        """Returns (emittable_bytes, stopped)."""
+        if not self.stops:
+            return data, False
+        buf = self.held + data
+        for s in self.stops:
+            idx = buf.find(s)
+            if idx != -1:
+                self.held = b""
+                return buf[:idx], True
+        # Longest suffix of buf that is a proper prefix of any stop word.
+        hold = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(buf)), 0, -1):
+                if buf.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        self.held = buf[len(buf) - hold:] if hold else b""
+        return buf[: len(buf) - hold], False
+
+    def flush(self) -> bytes:
+        out, self.held = self.held, b""
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Slots
+# ---------------------------------------------------------------------------
+
+
+class _SlotPhase(Enum):
+    IDLE = "idle"
+    PREFILL = "prefill"
+    DECODE = "decode"
+
+
+@dataclass
+class _Slot:
+    index: int
+    phase: _SlotPhase = _SlotPhase.IDLE
+    resident_tokens: tuple[int, ...] = ()
+    resident_state_id: str = "default"
+    idle_since: float = field(default_factory=time.monotonic)
+    ctx: Optional["_ReqCtx"] = None
+
+
+@dataclass
+class _ReqCtx:
+    request: GenerateRequest
+    handle: GenerateHandle
+    prompt_tokens: tuple[int, ...]
+    model_tokens: tuple[int, ...]
+    remaining: list[int]             # prompt tokens still to feed
+    state_id: str
+    all_tokens: list[int] = field(default_factory=list)
+    utf8: Utf8Buffer = field(default_factory=Utf8Buffer)
+    stop: StopMatcher | None = None
+    formatter: Any = None            # BNF formatter or None
+    counter: TokenCounter = field(default_factory=TokenCounter)
+    start_time: float = field(default_factory=time.monotonic)
+    cache_future: asyncio.Future | None = None
+    prefill_cached: bool = False
+    prefill_logits: np.ndarray | None = None
+    finish: FinishReason = FinishReason.NULL
+
+
+class Runtime:
+    """The batched runtime for one loaded model."""
+
+    def __init__(self, engine: Engine, tokenizer: Tokenizer,
+                 states: dict[str, Any] | None = None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.max_batch = engine.max_batch
+        self.chunk = engine.token_chunk_size
+        self.slots = [_Slot(i) for i in range(self.max_batch)]
+        # init-state registry: id -> host batch-1 state pytree (None = fresh)
+        self.states: dict[str, Any] = {"default": None}
+        if states:
+            self.states.update(states)
+        self.caches: dict[str, StateCache] = {}
+        self.pending: list[_ReqCtx] = []
+        self._wake = asyncio.Event()
+        self._stopped = False
+        self._task: asyncio.Task | None = None
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        self._task = asyncio.get_event_loop().create_task(self._drive())
+
+    async def stop(self) -> None:
+        self._stopped = True
+        self._wake.set()
+        if self._task:
+            await self._task
+
+    async def submit(self, request: GenerateRequest) -> GenerateHandle:
+        """Queue a generation; returns the per-request handle."""
+        handle = GenerateHandle()
+        prompt_tokens = tuple(self.tokenizer.encode(request.prompt)) or (
+            END_OF_TEXT,)
+        model_tokens = tuple(self.tokenizer.encode(request.model_text))
+        ctx = _ReqCtx(
+            request=request,
+            handle=handle,
+            prompt_tokens=prompt_tokens,
+            model_tokens=model_tokens,
+            remaining=list(prompt_tokens),
+            state_id=request.state_id or "default",
+        )
+        ctx.counter.prompt = len(prompt_tokens)
+        ctx.stop = StopMatcher(request.stop)
+        if request.bnf_schema:
+            from .bnf import BnfFormatter
+
+            ctx.formatter = BnfFormatter(
+                request.bnf_schema, self.tokenizer, self.engine.vocab)
+        self.pending.append(ctx)
+        self._wake.set()
+        return handle
+
+    def cache_for(self, state_id: str) -> StateCache:
+        c = self.caches.get(state_id)
+        if c is None:
+            c = self.caches[state_id] = StateCache()
+        return c
+
+    def register_state(self, state_id: str, state) -> None:
+        self.states[state_id] = state
+
+    def busy_count(self) -> int:
+        return sum(1 for s in self.slots if s.phase != _SlotPhase.IDLE)
+
+    # ------------------------------------------------------------------
+    # Driver loop
+    # ------------------------------------------------------------------
+
+    async def _drive(self) -> None:
+        loop = asyncio.get_event_loop()
+        while not self._stopped:
+            await self._admit()
+            active = [s for s in self.slots if s.phase != _SlotPhase.IDLE]
+            if not active:
+                self._wake.clear()
+                if self.pending:
+                    continue
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=1.0)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+
+            # ---- build the merged step ----
+            B = self.max_batch
+            T = 1
+            for s in active:
+                if s.phase == _SlotPhase.PREFILL and (
+                        len(s.ctx.remaining) > 1):
+                    T = self.chunk
+                    break
+            tokens = np.zeros((B, T), np.int32)
+            lengths = np.zeros(B, np.int32)
+            sample_mask = np.zeros(B, np.bool_)
+            completing = []  # slots whose prefill finishes this step
+            for s in active:
+                ctx = s.ctx
+                if s.phase == _SlotPhase.PREFILL:
+                    n = min(len(ctx.remaining), T)
+                    tokens[s.index, :n] = ctx.remaining[:n]
+                    lengths[s.index] = n
+                    if n == len(ctx.remaining):
+                        completing.append(s)
+                        sample_mask[s.index] = (
+                            ctx.request.kind == GenerateKind.GENERATE)
+                else:  # DECODE
+                    tokens[s.index, 0] = ctx.all_tokens[-1]
+                    lengths[s.index] = 1
+                    sample_mask[s.index] = True
+
+            # BNF masks are computed on CPU and uploaded before the step.
+            for s in active:
+                if s.ctx.formatter is not None and sample_mask[s.index]:
+                    self.engine.set_row_mask(
+                        s.index, s.ctx.formatter.allowed_mask())
+
+            want_logits = bool(completing)
+            result = await loop.run_in_executor(
+                None, self.engine.step, tokens, lengths, sample_mask,
+                want_logits)
+
+            for s in completing:
+                if result.logits is not None:
+                    s.ctx.prefill_logits = result.logits[s.index].copy()
+
+            # ---- distribute results ----
+            for s in list(active):
+                await self._advance(s, lengths, sample_mask, result)
+
+    async def _admit(self) -> None:
+        """Assign pending requests to free slots (Continue > Empty > Back)."""
+        remaining = []
+        for ctx in self.pending:
+            if ctx.handle.aborted:
+                await ctx.handle.queue.put(
+                    ("stop", FinishReason.ABORT, ctx.counter))
+                await ctx.handle.queue.put(("done",))
+                continue
+            slot = self._choose_slot(ctx)
+            if slot is None:
+                remaining.append(ctx)
+                continue
+            await self._install(slot, ctx)
+        self.pending = remaining
+
+    def _choose_slot(self, ctx: _ReqCtx) -> Optional[_Slot]:
+        """Continue > Empty > Back (run.rs:304-331,503-532)."""
+        best_cont, best_len = None, 0
+        empty = None
+        oldest = None
+        for s in self.slots:
+            if s.phase != _SlotPhase.IDLE:
+                continue
+            if not s.resident_tokens and empty is None:
+                empty = s
+            if (s.resident_state_id == ctx.state_id
+                    and s.resident_tokens
+                    and len(s.resident_tokens) < len(ctx.prompt_tokens)
+                    and ctx.prompt_tokens[: len(s.resident_tokens)]
+                    == s.resident_tokens
+                    and len(s.resident_tokens) > best_len):
+                best_cont, best_len = s, len(s.resident_tokens)
+            if oldest is None or s.idle_since < oldest.idle_since:
+                oldest = s
+        return best_cont or empty or oldest
+
+    async def _install(self, slot: _Slot, ctx: _ReqCtx) -> None:
+        """Checkout the longest cached prefix and configure the engine row."""
+        eng = self.engine
+        b = slot.index
+        exact_item: CachedItem | None = None
+
+        reused = 0
+        if (slot.resident_state_id == ctx.state_id and slot.resident_tokens
+                and len(slot.resident_tokens) < len(ctx.prompt_tokens)
+                and ctx.prompt_tokens[: len(slot.resident_tokens)]
+                == slot.resident_tokens):
+            # Continue-in-place: resident state is a strict prompt prefix.
+            reused = len(slot.resident_tokens)
+        else:
+            cache = self.cache_for(ctx.state_id)
+            plen, item = cache.longest_prefix(ctx.prompt_tokens)
+            if isinstance(item, asyncio.Future):
+                try:
+                    item = await asyncio.wait_for(
+                        asyncio.shield(item), timeout=60.0)
+                except Exception:
+                    item = None
+            if isinstance(item, CachedItem):
+                item.instant = time.monotonic()
+                if plen == len(ctx.prompt_tokens) and item.logits is not None:
+                    exact_item = item
+                eng.load_row_state(b, _to_device(item.state))
+                reused = plen
+            else:
+                init = self.states.get(ctx.state_id)
+                eng.load_row_state(
+                    b, _to_device(init) if init is not None else None)
+
+        ctx.remaining = list(ctx.prompt_tokens[reused:])
+        ctx.all_tokens = list(ctx.prompt_tokens)
+
+        # Penalty init from model-authored tokens (run.rs:152-188).
+        eng.set_row_sampler(b, ctx.request.sampler.row_params(),
+                            prompt_tokens=ctx.model_tokens)
+        bias = None
+        if ctx.request.bias:
+            bias = np.zeros(eng.vocab, np.float32)
+            for t, v in ctx.request.bias.items():
+                if 0 <= int(t) < eng.vocab:
+                    bias[int(t)] = v
+        eng.set_row_bias(b, bias)
+        eng.set_row_mask(b, None)
+
+        # In-flight cache future for this prompt (run.rs:191-205).
+        if (len(ctx.prompt_tokens) >= MIN_PROMPT_CACHE_TOKENS
+                and ctx.request.kind == GenerateKind.GENERATE
+                and exact_item is None and ctx.remaining):
+            fut = asyncio.get_event_loop().create_future()
+            self.cache_for(ctx.state_id).insert(ctx.prompt_tokens, fut)
+            ctx.cache_future = fut
+
+        slot.ctx = ctx
+        slot.resident_state_id = ctx.state_id
+        await ctx.handle.queue.put(("start",))
+
+        if exact_item is not None \
+                and ctx.request.kind == GenerateKind.GENERATE:
+            # Exact-hit fast path: sample directly from the cached
+            # prompt-end logits (reference CachedItem.output, run.rs:199-223).
+            ctx.prefill_logits = exact_item.logits
+            slot.phase = _SlotPhase.DECODE
+            if ctx.formatter is not None:
+                eng.set_row_mask(b, ctx.formatter.allowed_mask())
+            token = eng.sample_only(b, exact_item.logits)
+            await self._accept_token(slot, token)
+        elif not ctx.remaining:
+            # Cached state covers the whole prompt but without logits (e.g.
+            # STATE/CHOOSE flows, which never sample): handle per kind.
+            if ctx.request.kind == GenerateKind.STATE:
+                await self._emit_state(slot)
+            elif ctx.request.kind == GenerateKind.CHOOSE:
+                await self._run_choose(slot)
+            else:
+                # Re-prefill the last token is incorrect; redo the prompt.
+                ctx.remaining = list(ctx.prompt_tokens)
+                init = self.states.get(ctx.state_id)
+                eng.load_row_state(
+                    b, _to_device(init) if init is not None else None)
+                slot.phase = _SlotPhase.PREFILL
+        else:
+            slot.phase = _SlotPhase.PREFILL
+
+    async def _advance(self, slot: _Slot, lengths, sample_mask,
+                       result) -> None:
+        ctx = slot.ctx
+        if ctx is None:
+            return
+        b = slot.index
+
+        if ctx.handle.aborted:
+            await self._finalize(slot, FinishReason.ABORT)
+            return
+
+        if slot.phase == _SlotPhase.PREFILL:
+            fed = int(lengths[b])
+            del ctx.remaining[:fed]
+            if ctx.remaining:
+                return  # still prefilling
+            # Prefill done: cache the prompt state (run.rs:789-804).
+            if ctx.cache_future is not None and not ctx.prefill_cached:
+                state = self.engine.read_row_state(b)
+                item = CachedItem(
+                    state=state, logits=ctx.prefill_logits,
+                    tokens=ctx.prompt_tokens)
+                cache = self.cache_for(ctx.state_id)
+                cache.insert(ctx.prompt_tokens, item)
+                cache.maintain()
+                if not ctx.cache_future.done():
+                    ctx.cache_future.set_result(item)
+                ctx.prefill_cached = True
+            if ctx.request.kind == GenerateKind.STATE:
+                await self._emit_state(slot)
+                return
+            if ctx.request.kind == GenerateKind.CHOOSE:
+                await self._run_choose(slot)
+                return
+            slot.phase = _SlotPhase.DECODE
+            if not sample_mask[b]:
+                return
+
+        token = int(result.tokens[b])
+        await self._accept_token(slot, token)
+
+    async def _accept_token(self, slot: _Slot, token: int) -> None:
+        """Post-process one sampled token for a decoding slot."""
+        ctx = slot.ctx
+        ctx.all_tokens.append(token)
+        ctx.counter.completion += 1
+
+        halted = (ctx.formatter.accept(token)
+                  if ctx.formatter is not None else False)
+
+        if token == END_OF_TEXT:
+            await self._emit_bytes(ctx, b"", final=True)
+            await self._finalize(slot, FinishReason.STOP)
+            return
+
+        data = self.tokenizer.token_to_bytes(token)
+        stopped = await self._emit_bytes(ctx, data)
+        if stopped:
+            await self._finalize(slot, FinishReason.STOP)
+            return
+        if halted:
+            await self._emit_bytes(ctx, b"", final=True)
+            await self._finalize(slot, FinishReason.STOP)
+            return
+        if ctx.counter.completion >= ctx.request.max_tokens:
+            await self._emit_bytes(ctx, b"", final=True)
+            await self._finalize(slot, FinishReason.LENGTH)
+            return
+        slot.phase = _SlotPhase.DECODE
+
+    async def _emit_bytes(self, ctx: _ReqCtx, data: bytes,
+                          final: bool = False) -> bool:
+        emit, stopped = ctx.stop.push(data)
+        if final:
+            emit += ctx.stop.flush()
+        text = ctx.utf8.push(emit)
+        if final:
+            text += ctx.utf8.flush()
+        if text:
+            await ctx.handle.queue.put(("content", text))
+        return stopped
+
+    async def _emit_state(self, slot: _Slot) -> None:
+        state = self.engine.read_row_state(slot.index)
+        await slot.ctx.handle.queue.put(("embed", state))
+        await self._finalize(slot, FinishReason.STOP)
+
+    async def _finalize(self, slot: _Slot, reason: FinishReason) -> None:
+        ctx = slot.ctx
+        b = slot.index
+        ctx.counter.duration = time.monotonic() - ctx.start_time
+
+        if ctx.cache_future is not None and not ctx.cache_future.done():
+            ctx.cache_future.set_result(None)
+            if not ctx.prefill_cached:
+                self.cache_for(ctx.state_id).remove(ctx.prompt_tokens)
+
+        # Back: cache the final state keyed by all consumed tokens
+        # (run.rs:990-1005).
+        if (ctx.request.kind == GenerateKind.GENERATE
+                and reason in (FinishReason.STOP, FinishReason.LENGTH)
+                and len(ctx.all_tokens) >= MIN_PROMPT_CACHE_TOKENS):
+            state = self.engine.read_row_state(b)
+            key = tuple(ctx.all_tokens)
+            cache = self.cache_for(ctx.state_id)
+            cache.insert(key, CachedItem(state=state, logits=None, tokens=key))
+            cache.maintain()
+
+        await ctx.handle.queue.put(("stop", reason, ctx.counter))
+        await ctx.handle.queue.put(("done",))
+        slot.resident_tokens = tuple(ctx.all_tokens)
+        slot.idle_since = time.monotonic()
+        slot.phase = _SlotPhase.IDLE
+        slot.ctx = None
+        self._wake.set()
+
+    # ------------------------------------------------------------------
+    # Choose (perplexity classification, run.rs:936-1010)
+    # ------------------------------------------------------------------
+
+    async def _run_choose(self, slot: _Slot) -> None:
+        loop = asyncio.get_event_loop()
+        ctx = slot.ctx
+        b = slot.index
+        choices_tokens = [tuple(self.tokenizer.encode(c))
+                          for c in ctx.request.choices]
+        ppl = [float("inf")] * len(choices_tokens)
+
+        if ctx.request.calibrate:
+            # Perplexity of each choice from the INIT state, negated
+            # (run.rs:941-963; divisor is len(choice)+1 via the [0] prefix).
+            init = self.states.get(ctx.state_id)
+            for i, toks in enumerate(choices_tokens):
+                if not toks:
+                    continue
+                fed = (END_OF_TEXT,) + toks
+                lp = await loop.run_in_executor(
+                    None, lambda f=fed: self.engine.position_logps(
+                        list(f),
+                        state=init if init is not None
+                        else _host_init(self.engine)))
+                ppl[i] = float(np.sum(lp)) / len(fed)
+
+        head_logp = None
+        if ctx.prefill_logits is not None:
+            x = ctx.prefill_logits.astype(np.float64)
+            x = x - x.max()
+            head_logp = x - np.log(np.exp(x).sum())
+
+        for i, toks in enumerate(choices_tokens):
+            if not toks:
+                continue
+            lp = await loop.run_in_executor(
+                None, lambda t=toks: self.engine.position_logps(
+                    list(t), b=b))
+            h = float(head_logp[toks[0]]) if head_logp is not None else 0.0
+            p = -(h + float(np.sum(lp))) / len(toks)
+            ppl[i] = (ppl[i] + p) if ctx.request.calibrate else p
+
+        await ctx.handle.queue.put(("choose", ppl))
+        await self._finalize(slot, FinishReason.STOP)
+
+
+def _to_device(state_host):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, state_host)
+
+
+def _host_init(engine: Engine):
+    import jax
+
+    return jax.tree.map(np.asarray, engine.fresh_row_state())
