@@ -1,0 +1,209 @@
+"""Middleware dispatcher: model lifecycle + environment (reference C1,
+crates/ai00-core/src/lib.rs).
+
+The reference runs a ``ThreadRequest`` message loop; here the same surface
+is a plain async object the HTTP handlers call directly:
+
+* ``reload(ReloadRequest)`` — load a model: checkpoint read (safetensors /
+  .pth / prefab), LoRA blending, per-layer quantization map, init ``.state``
+  files, tokenizer, engine + runtime spawn (lib.rs:557-651).
+* ``unload()`` — drop the environment (lib.rs:653-656).
+* ``save(path)`` — prefab-style export: quantized params + info serialized
+  to a single file reloadable without re-quantizing (lib.rs:657-676).
+* ``info()`` — RuntimeInfo for ``/api/models/info`` (lib.rs:122-127).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import time
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from .engine import Engine
+from .loader import LoadedModel, load_model
+from .models import ModelInfo
+from .models import packing
+from .runtime import Runtime
+from .tokenizer import Tokenizer
+
+DEFAULT_TOKENIZER = "assets/tokenizer/rwkv_vocab_v20230424.json"
+MAX_TOKENS = 4096  # reference MAX_TOKENS cap on max_tokens per request
+
+
+@dataclass
+class StateEntry:
+    name: str
+    id: str
+    default: bool = False
+
+
+@dataclass
+class ReloadRequest:
+    """Mirrors lib.rs:203-231 (field-for-field, snake_case JSON)."""
+    model_path: str = ""
+    lora: list[dict] = field(default_factory=list)      # {path, alpha}
+    state: list[dict] = field(default_factory=list)     # {path, name, id, default}
+    quant: int = 0
+    quant_type: str = "Int8"                            # Int8 | NF4 | SF4 | None
+    precision: str = "Fp16"                             # Fp16 | Fp32
+    token_chunk_size: int = 128
+    max_batch: int = 8
+    tokenizer_path: str = DEFAULT_TOKENIZER
+    bnf: dict = field(default_factory=dict)
+    adapter: Any = "Auto"
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "ReloadRequest":
+        r = cls()
+        for k in obj:
+            if hasattr(r, k):
+                setattr(r, k, obj[k])
+        return r
+
+    def to_json(self) -> dict:
+        return {
+            "model_path": self.model_path,
+            "lora": self.lora,
+            "state": self.state,
+            "quant": self.quant,
+            "quant_type": self.quant_type,
+            "precision": self.precision,
+            "token_chunk_size": self.token_chunk_size,
+            "max_batch": self.max_batch,
+            "tokenizer_path": self.tokenizer_path,
+            "bnf": self.bnf,
+            "adapter": self.adapter,
+        }
+
+
+@dataclass
+class Environment:
+    reload: ReloadRequest
+    model: LoadedModel
+    engine: Engine
+    runtime: Runtime
+    tokenizer: Tokenizer
+    states: list[StateEntry]
+
+
+class Middleware:
+    """Owner of the (single) loaded model environment."""
+
+    def __init__(self):
+        self.env: Optional[Environment] = None
+        self._lock = asyncio.Lock()
+
+    @property
+    def loaded(self) -> bool:
+        return self.env is not None
+
+    def info(self) -> Optional[dict]:
+        """RuntimeInfo equivalent (lib.rs:122-127)."""
+        if self.env is None:
+            return None
+        info = self.env.model.info
+        return {
+            "reload": self.env.reload.to_json(),
+            "model": {
+                "version": info.version.value,
+                "num_layer": info.num_layer,
+                "num_emb": info.num_emb,
+                "num_hidden": info.num_hidden,
+                "num_vocab": info.num_vocab,
+                "num_head": info.num_head,
+                "head_size": info.head_size,
+            },
+            "states": [
+                {"name": s.name, "id": s.id, "default": s.default}
+                for s in self.env.states
+            ],
+            "tokenizer": self.env.reload.tokenizer_path,
+        }
+
+    async def reload(self, request: ReloadRequest) -> None:
+        import jax.numpy as jnp
+
+        async with self._lock:
+            await self._unload_locked()
+            loop = asyncio.get_event_loop()
+
+            def _load():
+                dtype = (jnp.float32 if request.precision == "Fp32"
+                         else jnp.bfloat16)
+                quant_mode = request.quant_type.lower()
+                quant = None
+                if request.quant > 0 and quant_mode in ("int8", "nf4", "sf4"):
+                    quant = {i: quant_mode for i in range(request.quant)}
+                loras = [(l["path"], float(l.get("alpha", 1.0)))
+                         for l in request.lora]
+                if request.model_path.endswith(".prefab"):
+                    from . import prefab
+
+                    return prefab.load_prefab(request.model_path)
+                return load_model(request.model_path, dtype=dtype,
+                                  loras=loras, quant=quant)
+
+            model = await loop.run_in_executor(None, _load)
+            tokenizer = await loop.run_in_executor(
+                None, Tokenizer.from_file, request.tokenizer_path)
+            engine = Engine(
+                model,
+                max_batch=request.max_batch,
+                token_chunk_size=request.token_chunk_size,
+            )
+
+            # Init states from .state files (lib.rs:413-444).
+            states: list[StateEntry] = []
+            state_map: dict[str, Any] = {}
+            default_state = None
+            for st in request.state:
+                sid = str(st.get("id") or uuid_mod.uuid4())
+                name = st.get("name") or os.path.basename(st["path"])
+                data = await loop.run_in_executor(
+                    None, packing.load_state_file, model.info, st["path"])
+                state_map[sid] = data
+                entry = StateEntry(name=name, id=sid,
+                                   default=bool(st.get("default")))
+                states.append(entry)
+                if entry.default:
+                    default_state = data
+            if default_state is not None:
+                state_map["default"] = default_state
+                state_map[str(uuid_mod.UUID(int=0))] = None
+            else:
+                # The nil UUID addresses the model's own initial state.
+                state_map[str(uuid_mod.UUID(int=0))] = None
+
+            runtime = Runtime(engine, tokenizer, states=state_map)
+            runtime.start()
+            self.env = Environment(
+                reload=request, model=model, engine=engine,
+                runtime=runtime, tokenizer=tokenizer, states=states,
+            )
+
+    async def unload(self) -> None:
+        async with self._lock:
+            await self._unload_locked()
+
+    async def _unload_locked(self) -> None:
+        if self.env is not None:
+            await self.env.runtime.stop()
+            self.env = None
+
+    async def save(self, path: str) -> None:
+        """Prefab export (lib.rs:131-154, 657-676): the stacked (possibly
+        quantized) param pytree + ModelInfo + reload config, reloadable
+        without requantizing."""
+        if self.env is None:
+            raise RuntimeError("no model loaded")
+        from . import prefab
+
+        env = self.env
+        loop = asyncio.get_event_loop()
+        await loop.run_in_executor(
+            None, prefab.save_prefab, path, env.model, env.reload.to_json())

@@ -1,0 +1,167 @@
+"""Weight quantization: Int8 / NF4 / SF4 (reference surface: web-rwkv
+``Quant::{None,Int8,NF4,SF4}`` selected per layer count via
+``ReloadRequest.quant``/``quant_type``, crates/ai00-core/src/lib.rs:465,
+crates/ai00-core/src/reload.rs:23-27).
+
+TPU-first design: weights are *stored* quantized in HBM (the decode
+bottleneck is weight bandwidth) and dequantized on the fly inside the
+matmul — XLA fuses the convert/table-lookup into the dot's operand load.
+A Pallas dequant-in-matmul kernel is the follow-on optimization for the
+NF4 path.
+
+* Int8: symmetric per-(128-row block, output column) scaling,
+  ``q = round(w / s)``, ``s = absmax / 127``.
+* NF4: 4-bit NormalFloat table (QLoRA), per-64-element block absmax.
+* SF4: 4-bit with an exponent-biased table emphasizing small magnitudes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT8_BLOCK = 128
+NF4_BLOCK = 64
+
+# QLoRA NormalFloat-4 quantiles.
+NF4_TABLE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], np.float32)
+
+# SF4: sign+exponent-ish levels (denser near zero than NF4's quantiles).
+SF4_TABLE = np.array([
+    -1.0, -0.5, -0.25, -0.125, -0.0625, -0.03125, -0.015625, 0.0,
+    0.015625, 0.03125, 0.0625, 0.125, 0.25, 0.5, 0.75, 1.0,
+], np.float32)
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedLinear:
+    """A quantized ``(..., in, out)`` weight with a fused-dequant matmul.
+
+    Pytree-compatible (stacks under ``lax.scan`` layer groups; serializes
+    through the prefab path).  ``mode`` is static aux data.
+    """
+
+    def __init__(self, mode: str, q, scale, shape):
+        self.mode = mode
+        self.q = q            # int8 codes (int8) or packed nf4 (uint8)
+        self.scale = scale    # per-block scales, f32
+        self.shape = shape    # logical (in, out) of the last two dims
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.mode, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        mode, shape = aux
+        return cls(mode, q, scale, shape)
+
+    # -- dequant ---------------------------------------------------------
+
+    def dequant(self, dtype=jnp.float32):
+        if self.mode == "int8":
+            # q: (..., nb, B, out), scale: (..., nb, 1, out)
+            w = self.q.astype(jnp.float32) * self.scale
+            return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
+        table = jnp.asarray(
+            NF4_TABLE if self.mode == "nf4" else SF4_TABLE, jnp.float32)
+        lo = (self.q & 0x0F).astype(jnp.int32)
+        hi = (self.q >> 4).astype(jnp.int32)
+        codes = jnp.stack([lo, hi], axis=-1).reshape(
+            self.q.shape[:-1] + (self.q.shape[-1] * 2,))
+        w = table[codes] * self.scale[..., None]
+        return w.reshape(self.q.shape[:-2] + self.shape).astype(dtype)
+
+    def matmul(self, x):
+        """``x @ W`` with on-the-fly dequant (XLA fuses the conversion)."""
+        if self.mode == "int8":
+            in_dim, out = self.shape
+            nb = self.q.shape[-3]
+            xb = x.reshape(x.shape[:-1] + (nb, INT8_BLOCK))
+            # (..., nb, B) @ (..., nb, B, out) summed over nb, B.
+            acc = jnp.einsum(
+                "...nb,...nbo->...o",
+                xb.astype(jnp.float32),
+                (self.q.astype(jnp.float32) * self.scale),
+                preferred_element_type=jnp.float32,
+            )
+            return acc.astype(x.dtype)
+        w = self.dequant(x.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quantize_int8(w: np.ndarray) -> QuantizedLinear:
+    """Symmetric int8 over (in, out) with per-(block-of-in, out) scale."""
+    *lead, in_dim, out = w.shape
+    assert in_dim % INT8_BLOCK == 0, f"in dim {in_dim} % {INT8_BLOCK}"
+    nb = in_dim // INT8_BLOCK
+    wb = np.asarray(w, np.float32).reshape(*lead, nb, INT8_BLOCK, out)
+    s = np.abs(wb).max(axis=-2, keepdims=True) / 127.0
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.round(wb / s), -127, 127).astype(np.int8)
+    return QuantizedLinear("int8", jnp.asarray(q),
+                           jnp.asarray(s.astype(np.float32)), (in_dim, out))
+
+
+def _quantize_4bit(w: np.ndarray, table: np.ndarray,
+                   mode: str) -> QuantizedLinear:
+    *lead, in_dim, out = w.shape
+    flat = np.asarray(w, np.float32).reshape(*lead, -1)
+    n = flat.shape[-1]
+    assert n % NF4_BLOCK == 0
+    blocks = flat.reshape(*lead, n // NF4_BLOCK, NF4_BLOCK)
+    absmax = np.abs(blocks).max(axis=-1, keepdims=True)
+    absmax = np.maximum(absmax, 1e-12)
+    norm = blocks / absmax
+    codes = np.abs(norm[..., None] - table).argmin(axis=-1).astype(np.uint8)
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return QuantizedLinear(
+        mode, jnp.asarray(packed),
+        jnp.asarray(absmax[..., 0].astype(np.float32)), (in_dim, out))
+
+
+def quantize_nf4(w: np.ndarray) -> QuantizedLinear:
+    return _quantize_4bit(w, NF4_TABLE, "nf4")
+
+
+def quantize_sf4(w: np.ndarray) -> QuantizedLinear:
+    return _quantize_4bit(w, SF4_TABLE, "sf4")
+
+
+QUANTIZERS = {"int8": quantize_int8, "nf4": quantize_nf4,
+              "sf4": quantize_sf4}
+
+# Large projection weights eligible for quantization (the reference
+# quantizes the matmul weights, not norms/mixers).
+_QUANT_KEYS_ATT = ("receptance", "key", "value", "gate", "output")
+_QUANT_KEYS_FFN = ("receptance", "key", "value")
+
+
+def quantize_group(stacked: dict, mode: str) -> dict:
+    """Replace the big linear weights in a stacked layer-group pytree with
+    QuantizedLinear leaves.  ``stacked`` arrays have a leading layer axis."""
+    qfn = QUANTIZERS[mode]
+
+    def maybe(d: dict, keys):
+        for k in keys:
+            if k in d and getattr(d[k], "ndim", 0) >= 2:
+                d[k] = qfn(np.asarray(d[k], np.float32))
+
+    out = jax.tree.map(lambda x: x, stacked)  # shallow-ish copy
+    maybe(out["att"], _QUANT_KEYS_ATT)
+    maybe(out["ffn"], _QUANT_KEYS_FFN)
+    return out
+
+
+def interleave_codes_check():
+    """The 4-bit packing interleaves (even, odd) element pairs; dequant
+    restores original order — verified in tests."""

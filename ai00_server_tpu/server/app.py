@@ -1,0 +1,582 @@
+"""aiohttp application: the full HTTP API surface.
+
+Route table mirrors the reference (crates/ai00-server/src/main.rs:245-320):
+
+  POST /api/oai/[v1/]chat/completions   chat, stream + non-stream
+  POST /api/oai/[v1/]completions        completions, stream + non-stream
+  POST /api/oai/[v1/]chooses            perplexity ranking
+  POST /api/oai/[v1/]states             raw state extraction
+  POST /api/oai/[v1/]embeddings         model-derived embeddings (native)
+  GET  /api/oai/[v1/]models             current model id
+  GET  /api/adapters                    device list
+  GET  /api/models/info                 RuntimeInfo
+  GET  /api/models/state                SSE info stream
+  GET  /api/models/list                 model files w/ sha + headers
+  POST /api/auth/exchange               app key -> JWT
+  POST /admin/models/load|save, GET /admin/models/unload   (JWT)
+  POST /admin/files/unzip|dir|ls|config/load|config/save   (JWT)
+  GET  /api-docs/openapi.json, /api-docs                    OpenAPI
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import re
+import uuid as uuid_mod
+
+import numpy as np
+from aiohttp import web
+
+from ..middleware import Middleware, ReloadRequest, MAX_TOKENS
+from ..models import packing
+from ..ops import sampling
+from ..runtime import (FinishReason, GenerateKind, GenerateRequest,
+                       SamplerSpec)
+from . import auth as auth_mod
+from . import files as files_mod
+from .config import Config, check_path_permitted, dump_toml
+from .openapi import OPENAPI_SPEC, SWAGGER_HTML
+
+_WS_RE = re.compile(r"\n(\s*\n)+")
+
+ROLE_NAMES = {
+    "system": "System", "user": "User", "assistant": "Assistant",
+    "observation": "Observation", "tool": "Observation",
+}
+
+
+def _array(value) -> list:
+    """Reference Array<T>: none | item | vec (types.rs:8-24)."""
+    if value is None:
+        return []
+    if isinstance(value, list):
+        return value
+    return [value]
+
+
+def _sampler_from_json(obj: dict | None, top_p=0.5, top_k=128,
+                       temperature=1.0) -> SamplerSpec:
+    """SamplerParams tagged union (oai/mod.rs:32-52) or the flat fields."""
+    if obj is None:
+        return SamplerSpec(kind=sampling.KIND_NUCLEUS, top_p=top_p,
+                           top_k=top_k, temperature=temperature)
+    typ = str(obj.get("type", "Nucleus")).lower()
+    if typ == "mirostat":
+        return SamplerSpec(
+            kind=sampling.KIND_MIROSTAT,
+            miro_tau=float(obj.get("tau", 3.0)),
+            miro_rate=float(obj.get("rate", obj.get("learning_rate", 0.1))),
+        )
+    common = dict(
+        top_k=int(obj.get("top_k", 128)),
+        temperature=float(obj.get("temperature", 1.0)),
+        presence_penalty=float(obj.get("presence_penalty", 0.3)),
+        frequency_penalty=float(obj.get("frequency_penalty", 0.3)),
+        penalty_decay=float(obj.get("penalty_decay", 0.99654026)),
+    )
+    if typ == "typical":
+        return SamplerSpec(kind=sampling.KIND_TYPICAL,
+                           top_p=float(obj.get("tau", 0.5)), **common)
+    return SamplerSpec(kind=sampling.KIND_NUCLEUS,
+                       top_p=float(obj.get("top_p", 0.5)), **common)
+
+
+class Server:
+    def __init__(self, config: Config):
+        self.config = config
+        self.middleware = Middleware()
+        self.app = web.Application(client_max_size=1 << 30)
+        self._routes()
+
+    # -- helpers -----------------------------------------------------------
+
+    async def _env(self):
+        """Poll until a model is loaded (reference request_info,
+        api/mod.rs:17-45)."""
+        for _ in range(6000):
+            if self.middleware.env is not None:
+                return self.middleware.env
+            await asyncio.sleep(0.05)
+        raise web.HTTPServiceUnavailable(text="no model loaded")
+
+    def _model_name(self) -> str:
+        env = self.middleware.env
+        return env.reload.model_path if env else ""
+
+    async def _resolve_state(self, env, state_field) -> str | None:
+        """InputState: Key(uuid) | Value{data,shape} | File{path}
+        (lib.rs:283-305)."""
+        if state_field is None:
+            return None
+        rt = env.runtime
+        if isinstance(state_field, str):
+            sid = state_field
+            if sid == str(uuid_mod.UUID(int=0)):
+                return "default"
+            return sid
+        if isinstance(state_field, dict):
+            sid = str(state_field.get("id") or uuid_mod.uuid4())
+            if sid in rt.states:
+                return sid
+            if "data" in state_field:
+                data = np.asarray(state_field["data"], np.float32)
+                state = packing.unpack_state(env.model.info, data)
+                rt.register_state(sid, state)
+                return sid
+            if "path" in state_field:
+                model_dir = self.config.model.get("path", "assets/models")
+                path = state_field["path"]
+                if not os.path.isabs(path):
+                    path = os.path.join(model_dir, path)
+                check_path_permitted(path, [model_dir])
+                loop = asyncio.get_event_loop()
+                state = await loop.run_in_executor(
+                    None, packing.load_state_file, env.model.info, path)
+                rt.register_state(sid, state)
+                return sid
+        return None
+
+    # -- routes ------------------------------------------------------------
+
+    def _routes(self):
+        r = self.app.router
+        for p in ("/api/oai/chat/completions", "/api/oai/v1/chat/completions"):
+            r.add_post(p, self.chat_completions)
+        for p in ("/api/oai/completions", "/api/oai/v1/completions"):
+            r.add_post(p, self.completions)
+        for p in ("/api/oai/chooses", "/api/oai/v1/chooses"):
+            r.add_post(p, self.chooses)
+        for p in ("/api/oai/states", "/api/oai/v1/states"):
+            r.add_post(p, self.states)
+        for p in ("/api/oai/embeddings", "/api/oai/v1/embeddings",
+                  "/api/oai/embeds", "/api/oai/v1/embeds"):
+            r.add_post(p, self.embeddings)
+        for p in ("/api/oai/models", "/api/oai/v1/models"):
+            r.add_get(p, self.oai_models)
+        r.add_get("/api/adapters", self.adapters)
+        r.add_get("/api/models/info", self.models_info)
+        r.add_get("/api/models/state", self.models_state_sse)
+        r.add_get("/api/models/list", self.models_list)
+        r.add_post("/api/auth/exchange", self.auth_exchange)
+        r.add_post("/admin/models/load", self._admin(self.admin_load))
+        r.add_get("/admin/models/unload", self._admin(self.admin_unload))
+        r.add_post("/admin/models/save", self._admin(self.admin_save))
+        r.add_post("/admin/files/unzip", self._admin(self.admin_unzip))
+        r.add_post("/admin/files/dir", self._admin(self.admin_dir))
+        r.add_post("/admin/files/ls", self._admin(self.admin_dir))
+        r.add_post("/admin/files/config/load",
+                   self._admin(self.admin_config_load))
+        r.add_post("/admin/files/config/save",
+                   self._admin(self.admin_config_save))
+        r.add_get("/api-docs/openapi.json", self.openapi_json)
+        r.add_get("/api-docs", self.swagger)
+        r.add_get("/api-docs/", self.swagger)
+
+    # -- auth ---------------------------------------------------------------
+
+    def _admin(self, handler):
+        async def wrapped(request: web.Request):
+            if not self.config.listen.force_pass:
+                token = None
+                h = request.headers.get("Authorization", "")
+                if h.startswith("Bearer "):
+                    token = h[7:]
+                token = token or request.query.get("admin_token")
+                claims = token and auth_mod.decode_jwt(
+                    token, self.config.listen.slot)
+                if not claims:
+                    raise web.HTTPUnauthorized(text="invalid admin token")
+            return await handler(request)
+        return wrapped
+
+    async def auth_exchange(self, request: web.Request):
+        body = await request.json()
+        app_id = body.get("app_id", "")
+        app_secret = body.get("app_secret", "")
+        for key in self.config.listen.app_keys:
+            if key.app_id == app_id and key.secret_key == app_secret:
+                token = auth_mod.make_token(
+                    app_id, self.config.listen.slot,
+                    self.config.listen.expire_sec)
+                return web.json_response(
+                    {"token": token, "code": 200, "message": "SUCCESS"})
+        return web.json_response(
+            {"token": None, "code": 403,
+             "message": "NO-Match AppId and SecretKey"}, status=403)
+
+    # -- OpenAI endpoints ----------------------------------------------------
+
+    async def chat_completions(self, request: web.Request):
+        body = await request.json()
+        env = await self._env()
+
+        messages = _array(body.get("messages"))
+        names = body.get("names", {})
+        template = body.get("template", {})
+        record_tpl = template.get("record", "{role}: {content}")
+        prefix_tpl = template.get("prefix", "{assistant}:")
+        sep = template.get("sep", "\n\n")
+
+        parts = []
+        model_parts = []
+        for m in messages:
+            role_key = str(m.get("role", "user")).lower()
+            role = names.get(role_key, ROLE_NAMES.get(role_key, "User"))
+            content = _WS_RE.sub("\n", str(m.get("content", ""))).strip()
+            parts.append(record_tpl.replace("{role}", role)
+                         .replace("{content}", content))
+            if role_key == "assistant":
+                model_parts.append(str(m.get("content", "")))
+        assistant = names.get("assistant", "Assistant")
+        user = names.get("user", "User")
+        prefix = prefix_tpl.replace("{assistant}", assistant) \
+            .replace("{user}", user)
+        prompt = sep.join(parts) + sep + prefix
+
+        req = GenerateRequest(
+            prompt=prompt,
+            model_text=sep.join(model_parts),
+            max_tokens=min(int(body.get("max_tokens", 256)), MAX_TOKENS),
+            stop=_array(body.get("stop", "\n\n")),
+            bias={int(k): float(v) for k, v in
+                  (body.get("bias") or body.get("logit_bias") or {}).items()},
+            sampler=_sampler_from_json(
+                body.get("sampler") or body.get("sampler_override"),
+                top_p=float(body.get("top_p", 0.5)),
+                top_k=int(body.get("top_k", 128)),
+                temperature=float(body.get("temperature", 1.0))),
+            bnf_schema=body.get("bnf_schema"),
+            state_id=await self._resolve_state(env, body.get("state")),
+        )
+        if body.get("stream", False):
+            return await self._stream_response(
+                request, env, req, "chat.completion.chunk",
+                lambda first, text: {"delta": (
+                    {"role": "Assistant"} if first == "role"
+                    else {"content": text})})
+        handle = await env.runtime.submit(req)
+        text, reason, counter = await _collect_text(handle)
+        return web.json_response({
+            "object": "chat.completion",
+            "model": self._model_name(),
+            "choices": [{
+                "message": {"role": "Assistant", "content": text.strip()},
+                "index": 0,
+                "finish_reason": reason.value,
+            }],
+            "usage": _usage(counter),
+        })
+
+    async def completions(self, request: web.Request):
+        body = await request.json()
+        env = await self._env()
+        req = GenerateRequest(
+            prompt="".join(_array(body.get("prompt"))),
+            max_tokens=min(int(body.get("max_tokens", 256)), MAX_TOKENS),
+            stop=_array(body.get("stop", "\n\n")),
+            bias={int(k): float(v) for k, v in
+                  (body.get("bias") or body.get("logit_bias") or {}).items()},
+            sampler=_sampler_from_json(
+                body.get("sampler") or body.get("sampler_override"),
+                top_p=float(body.get("top_p", 0.5)),
+                top_k=int(body.get("top_k", 128)),
+                temperature=float(body.get("temperature", 1.0))),
+            bnf_schema=body.get("bnf_schema"),
+            state_id=await self._resolve_state(env, body.get("state")),
+        )
+        if body.get("stream", False):
+            return await self._stream_response(
+                request, env, req, "text_completion",
+                lambda first, text: {"text": text})
+        handle = await env.runtime.submit(req)
+        text, reason, counter = await _collect_text(handle)
+        return web.json_response({
+            "object": "text_completion",
+            "model": self._model_name(),
+            "choices": [{
+                "text": text, "index": 0, "finish_reason": reason.value,
+            }],
+            "usage": _usage(counter),
+        })
+
+    async def _stream_response(self, request, env, req, object_name,
+                               delta_fn):
+        handle = await env.runtime.submit(req)
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+
+        def sse(payload: str) -> bytes:
+            return f"data: {payload}\n\n".encode()
+
+        model_name = self._model_name()
+        first = True
+        try:
+            async for msg in handle:
+                if msg[0] == "start" and object_name.startswith("chat"):
+                    chunk = {"object": object_name, "model": model_name,
+                             "choices": [{**delta_fn("role", ""),
+                                          "index": 0,
+                                          "finish_reason": None}]}
+                    await resp.write(sse(json.dumps(chunk)))
+                elif msg[0] == "content":
+                    text = msg[1]
+                    if first:
+                        text = text.lstrip() if object_name.startswith(
+                            "chat") else text
+                        if not text:
+                            continue
+                        first = False
+                    chunk = {"object": object_name, "model": model_name,
+                             "choices": [{**delta_fn("content", text),
+                                          "index": 0,
+                                          "finish_reason": None}]}
+                    await resp.write(sse(json.dumps(chunk)))
+                elif msg[0] == "stop":
+                    chunk = {"object": object_name, "model": model_name,
+                             "choices": [{"index": 0,
+                                          "finish_reason": msg[1].value}],
+                             "usage": _usage(msg[2])}
+                    await resp.write(sse(json.dumps(chunk)))
+                elif msg[0] == "done":
+                    await resp.write(sse("[DONE]"))
+        except (ConnectionResetError, asyncio.CancelledError):
+            handle.cancel()
+            raise
+        await resp.write_eof()
+        return resp
+
+    async def chooses(self, request: web.Request):
+        body = await request.json()
+        env = await self._env()
+        choices = body.get("choices", [])
+        req = GenerateRequest(
+            prompt="".join(_array(body.get("input"))),
+            max_tokens=1,
+            kind=GenerateKind.CHOOSE,
+            choices=choices,
+            calibrate=bool(body.get("calibrate", False)),
+            state_id=await self._resolve_state(env, body.get("state")),
+        )
+        handle = await env.runtime.submit(req)
+        ppls = None
+        async for msg in handle:
+            if msg[0] == "choose":
+                ppls = msg[1]
+        order = sorted(range(len(choices)), key=lambda i: ppls[i])
+        data = [{
+            "object": "choice",
+            "index": i,
+            "rank": rank,
+            "choice": choices[i],
+            "perplexity": ppls[i],
+        } for rank, i in enumerate(order)]
+        return web.json_response({
+            "object": "list", "model": self._model_name(), "data": data,
+        })
+
+    async def states(self, request: web.Request):
+        body = await request.json()
+        env = await self._env()
+        req = GenerateRequest(
+            prompt="".join(_array(body.get("input"))),
+            max_tokens=1,
+            kind=GenerateKind.STATE,
+            state_id=await self._resolve_state(env, body.get("state")),
+        )
+        handle = await env.runtime.submit(req)
+        state, counter = None, None
+        async for msg in handle:
+            if msg[0] == "embed":
+                state = msg[1]
+            elif msg[0] == "stop":
+                counter = msg[2]
+        flat = packing.pack_state(env.model.info, state)
+        shape = packing.state_shape(env.model.info)
+        return web.json_response({
+            "object": "list",
+            "model": self._model_name(),
+            "data": [{
+                "object": "states",
+                "index": 0,
+                "data": flat.reshape(-1).tolist(),
+                "shape": list(shape),
+            }],
+            "usage": _usage(counter),
+        })
+
+    async def embeddings(self, request: web.Request):
+        """Model-derived sentence embeddings: the final-layer token-shift
+        state (last hidden features) per input, L2-normalized."""
+        body = await request.json()
+        env = await self._env()
+        inputs = _array(body.get("input"))
+        data = []
+        for i, text in enumerate(inputs):
+            req = GenerateRequest(prompt=str(text), max_tokens=1,
+                                  kind=GenerateKind.STATE,
+                                  state_id=await self._resolve_state(
+                                      env, body.get("state")))
+            handle = await env.runtime.submit(req)
+            state = None
+            async for msg in handle:
+                if msg[0] == "embed":
+                    state = msg[1]
+            vec = np.asarray(state["ffn_x"], np.float32)[-1, 0]
+            norm = float(np.linalg.norm(vec))
+            if norm > 0:
+                vec = vec / norm
+            data.append({"object": "embedding", "index": i,
+                         "embedding": vec.tolist()})
+        return web.json_response({
+            "object": "list", "model": self._model_name(), "data": data,
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+        })
+
+    async def oai_models(self, request: web.Request):
+        env = await self._env()
+        stem = os.path.splitext(os.path.basename(
+            env.reload.model_path))[0]
+        return web.json_response(
+            {"data": [{"object": "models", "id": stem}]})
+
+    # -- info/admin ----------------------------------------------------------
+
+    async def adapters(self, request: web.Request):
+        import jax
+
+        devs = [f"{d.device_kind} ({d.platform})" for d in jax.devices()]
+        return web.json_response(devs)
+
+    async def models_info(self, request: web.Request):
+        info = self.middleware.info()
+        if info is None:
+            return web.json_response({"state": "none"})
+        return web.json_response({"state": "loaded", **info})
+
+    async def models_state_sse(self, request: web.Request):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        try:
+            for _ in range(3600):
+                info = self.middleware.info()
+                payload = json.dumps(
+                    {"state": "loaded", **info} if info else {"state": "none"})
+                await resp.write(f"data: {payload}\n\n".encode())
+                await asyncio.sleep(1.0)
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        return resp
+
+    async def models_list(self, request: web.Request):
+        model_dir = self.config.model.get("path", "assets/models")
+        loop = asyncio.get_event_loop()
+        out = await loop.run_in_executor(
+            None, files_mod.list_models, model_dir)
+        return web.json_response(out)
+
+    async def admin_load(self, request: web.Request):
+        body = await request.json()
+        req = ReloadRequest.from_json(body)
+        model_dir = self.config.model.get("path", "assets/models")
+        try:
+            check_path_permitted(req.model_path, [model_dir])
+        except PermissionError:
+            # Allow the "name within the configured dir" form too.
+            candidate = os.path.join(model_dir, req.model_path)
+            check_path_permitted(candidate, [model_dir])
+            req.model_path = candidate
+        try:
+            await self.middleware.reload(req)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"state": "loaded"})
+
+    async def admin_unload(self, request: web.Request):
+        await self.middleware.unload()
+        return web.json_response({"state": "unloaded"})
+
+    async def admin_save(self, request: web.Request):
+        body = await request.json()
+        path = body.get("path") or body.get("model_path")
+        model_dir = self.config.model.get("path", "assets/models")
+        check_path_permitted(os.path.dirname(path) or model_dir, [model_dir])
+        try:
+            await self.middleware.save(path)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"state": "saved", "path": path})
+
+    async def admin_unzip(self, request: web.Request):
+        body = await request.json()
+        source = body.get("zip_path") or body.get("source")
+        target = body.get("target_dir") or body.get("target")
+        for p in (source, target):
+            check_path_permitted(p, files_mod.PERMITTED)
+        loop = asyncio.get_event_loop()
+        await loop.run_in_executor(None, files_mod.unzip, source, target)
+        return web.json_response({"state": "ok"})
+
+    async def admin_dir(self, request: web.Request):
+        body = await request.json()
+        path = body.get("path", ".")
+        check_path_permitted(path, files_mod.PERMITTED)
+        loop = asyncio.get_event_loop()
+        out = await loop.run_in_executor(None, files_mod.list_dir, path)
+        return web.json_response(out)
+
+    async def admin_config_load(self, request: web.Request):
+        body = await request.json()
+        path = body.get("path", "assets/configs/Config.toml")
+        check_path_permitted(path, files_mod.PERMITTED)
+        cfg = Config.from_toml(path)
+        return web.json_response(cfg.to_dict())
+
+    async def admin_config_save(self, request: web.Request):
+        body = await request.json()
+        path = body.get("path", "assets/configs/Config.toml")
+        check_path_permitted(os.path.dirname(path), files_mod.PERMITTED)
+        cfg = Config.from_dict(body.get("config", {}))
+        with open(path, "w") as f:
+            f.write(dump_toml(cfg.to_dict()))
+        return web.json_response({"state": "saved"})
+
+    # -- docs -----------------------------------------------------------------
+
+    async def openapi_json(self, request: web.Request):
+        return web.json_response(OPENAPI_SPEC)
+
+    async def swagger(self, request: web.Request):
+        return web.Response(text=SWAGGER_HTML, content_type="text/html")
+
+
+def _usage(counter) -> dict:
+    if counter is None:
+        return {"prompt": 0, "completion": 0, "total": 0,
+                "duration": {"secs": 0, "nanos": 0}}
+    secs = int(counter.duration)
+    nanos = int((counter.duration - secs) * 1e9)
+    return {
+        "prompt": counter.prompt,
+        "completion": counter.completion,
+        "total": counter.total,
+        "duration": {"secs": secs, "nanos": nanos},
+    }
+
+
+async def _collect_text(handle):
+    parts, reason, counter = [], FinishReason.NULL, None
+    async for msg in handle:
+        if msg[0] == "content":
+            parts.append(msg[1])
+        elif msg[0] == "stop":
+            reason, counter = msg[1], msg[2]
+    return "".join(parts), reason, counter

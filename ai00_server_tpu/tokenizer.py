@@ -90,7 +90,11 @@ class Tokenizer:
         return len(self._token_bytes)
 
     def token_to_bytes(self, token: int) -> bytes:
-        return self._token_bytes[token]
+        """Bytes for a token id; ids beyond the defined vocab (the model's
+        padded logit rows, e.g. 65529..65535) decode to nothing."""
+        if 0 <= token < len(self._token_bytes):
+            return self._token_bytes[token]
+        return b""
 
     @property
     def token_index_to_bytes(self) -> list[bytes]:
