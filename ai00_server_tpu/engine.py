@@ -72,6 +72,9 @@ class Engine:
 
         # T-bucketed compiled step fns.
         self._steps: dict[int, callable] = {}
+        self._decode_scans: dict[int, callable] = {}
+        # Device copy of sampler params, re-uploaded only when rows change.
+        self._sparams_device = None
 
     # ------------------------------------------------------------------
     # State pool row management
@@ -131,6 +134,7 @@ class Engine:
         (Sampler::init semantics, nucleus.rs:48-58)."""
         for k, v in params.items():
             self.sampler_params_host[k][b] = v
+        self._sparams_device = None
         pen, seen = sampling.init_penalties_host(
             list(prompt_tokens), self.vocab,
             float(self.sampler_params_host["presence"][b]),
@@ -212,8 +216,7 @@ class Engine:
             assert B == self.max_batch
             self._rng, sub = jax.random.split(self._rng)
             fn = self._get_step(T, want_logits)
-            sparams = {k: jnp.asarray(v)
-                       for k, v in self.sampler_params_host.items()}
+            sparams = self._sparams()
             toks, sp, self.state_pool, self.sampler_state, logits = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 jnp.asarray(tokens, jnp.int32),
@@ -225,6 +228,77 @@ class Engine:
                 sampled_probs=np.asarray(sp),
                 logits=np.asarray(logits) if logits is not None else None,
             )
+
+    def _sparams(self):
+        if self._sparams_device is None:
+            self._sparams_device = {
+                k: jnp.asarray(v) for k, v in self.sampler_params_host.items()
+            }
+        return self._sparams_device
+
+    # ------------------------------------------------------------------
+    # Multi-token decode scan: K tokens per host round-trip
+    # ------------------------------------------------------------------
+
+    def _get_decode_scan(self, K: int):
+        fn = self._decode_scans.get(K)
+        if fn is None:
+            module = self.module
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def decode_scan(params, state, sampler_state, first_tokens,
+                            active, sparams, bias, mask, rng):
+                B = first_tokens.shape[0]
+                lengths = jnp.where(active, 1, 0).astype(jnp.int32)
+
+                def body(carry, rng_t):
+                    state, ss, toks = carry
+                    hidden, state = module.forward(
+                        params, state, toks[:, None], lengths)
+                    logits = jnp.dot(
+                        hidden[:, 0], params["head"].astype(hidden.dtype),
+                        preferred_element_type=jnp.float32)
+                    rand = jax.random.uniform(rng_t, (B,), jnp.float32)
+                    t2, probs, ss2 = sampling.sample_with_rand(
+                        rand, logits, sparams, ss,
+                        bias=bias, allowed_mask=mask)
+                    ss2 = jax.tree.map(
+                        lambda new, old: jnp.where(
+                            active.reshape((-1,) + (1,) * (new.ndim - 1)),
+                            new, old),
+                        ss2, ss)
+                    t2 = jnp.where(active, t2, toks)
+                    sp = probs[jnp.arange(B), t2]
+                    return (state, ss2, t2), (t2, sp)
+
+                rngs = jax.random.split(rng, K)
+                (state, ss, _), (toks_seq, sp_seq) = jax.lax.scan(
+                    body, (state, sampler_state, first_tokens), rngs)
+                return toks_seq, sp_seq, state, ss
+
+            fn = decode_scan
+            self._decode_scans[K] = fn
+        return fn
+
+    def decode_chunk(self, first_tokens: np.ndarray, active: np.ndarray,
+                     steps: int):
+        """Decode ``steps`` tokens for all ``active`` rows in ONE device
+        dispatch (a ``lax.scan`` feeding each sampled token back in).
+
+        Inactive rows keep their state/sampler state frozen.  Returns
+        (tokens (steps, B), probs (steps, B)).  The caller handles EOS /
+        stop-words post-hoc and rolls back over-decoded rows via
+        snapshot + re-prefill (runtime._rollback_row).
+        """
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            fn = self._get_decode_scan(steps)
+            toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
+                self.model.params, self.state_pool, self.sampler_state,
+                jnp.asarray(first_tokens, jnp.int32),
+                jnp.asarray(active, jnp.bool_),
+                self._sparams(), self.bias_pool, self.mask_pool, sub)
+            return np.asarray(toks_seq), np.asarray(sp_seq)
 
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast

@@ -311,11 +311,16 @@ class Runtime:
     """The batched runtime for one loaded model."""
 
     def __init__(self, engine: Engine, tokenizer: Tokenizer,
-                 states: dict[str, Any] | None = None):
+                 states: dict[str, Any] | None = None,
+                 decode_chunk_size: int = 8):
         self.engine = engine
         self.tokenizer = tokenizer
         self.max_batch = engine.max_batch
         self.chunk = engine.token_chunk_size
+        # Tokens decoded per device dispatch when every active slot is in
+        # steady-state decode (no BNF): one lax.scan on device instead of
+        # K host round-trips.  1 = per-token stepping.
+        self.decode_chunk_size = max(1, int(decode_chunk_size))
         self.slots = [_Slot(i) for i in range(self.max_batch)]
         # init-state registry: id -> host batch-1 state pytree (None = fresh)
         self.states: dict[str, Any] = {"default": None}
@@ -396,6 +401,13 @@ class Runtime:
                     pass
                 continue
 
+            # ---- fast path: every active slot decoding, no BNF ----
+            if (self.decode_chunk_size > 1
+                    and all(s.phase == _SlotPhase.DECODE for s in active)
+                    and all(s.ctx.formatter is None for s in active)):
+                await self._decode_chunk_step(loop, active)
+                continue
+
             # ---- build the merged step ----
             B = self.max_batch
             T = 1
@@ -441,6 +453,37 @@ class Runtime:
             # ---- distribute results ----
             for s in list(active):
                 await self._advance(s, lengths, sample_mask, result)
+
+    async def _decode_chunk_step(self, loop, active) -> None:
+        """Decode ``decode_chunk_size`` tokens for all active rows in one
+        device dispatch.  Every token the device consumed joins the row's
+        ``all_tokens`` (the state reflects them, so cache keys stay
+        correct); only tokens up to a stop condition are emitted."""
+        B = self.max_batch
+        K = self.decode_chunk_size
+        first = np.zeros(B, np.int32)
+        mask = np.zeros(B, np.bool_)
+        for s in active:
+            first[s.index] = s.ctx.all_tokens[-1]
+            mask[s.index] = True
+        toks_seq, _sp = await loop.run_in_executor(
+            None, self.engine.decode_chunk, first, mask, K)
+        for s in active:
+            ctx = s.ctx
+            b = s.index
+            # All K tokens are consumed by the device state, so they all
+            # join all_tokens up front — the cache/resident key must match
+            # the state even when a stop condition lands mid-chunk.
+            row = [int(t) for t in toks_seq[:, b]]
+            ctx.all_tokens.extend(row)
+            if ctx.handle.aborted:
+                await self._finalize(s, FinishReason.ABORT)
+                continue
+            done = False
+            for token in row:
+                if not done:
+                    done = await self._accept_token(s, token,
+                                                    consumed=True)
 
     async def _admit(self) -> None:
         """Assign pending requests to free slots (Continue > Empty > Back)."""
@@ -607,10 +650,16 @@ class Runtime:
         token = int(result.tokens[b])
         await self._accept_token(slot, token)
 
-    async def _accept_token(self, slot: _Slot, token: int) -> None:
-        """Post-process one sampled token for a decoding slot."""
+    async def _accept_token(self, slot: _Slot, token: int,
+                            consumed: bool = False) -> bool:
+        """Post-process one sampled token for a decoding slot.
+
+        ``consumed``: the token is already appended to ``all_tokens`` (the
+        chunked-decode path).  Returns True when the slot finished.
+        """
         ctx = slot.ctx
-        ctx.all_tokens.append(token)
+        if not consumed:
+            ctx.all_tokens.append(token)
         ctx.counter.completion += 1
 
         halted = (ctx.formatter.accept(token)
@@ -619,22 +668,23 @@ class Runtime:
         if token == END_OF_TEXT:
             await self._emit_bytes(ctx, b"", final=True)
             await self._finalize(slot, FinishReason.STOP)
-            return
+            return True
 
         data = self.tokenizer.token_to_bytes(token)
         stopped = await self._emit_bytes(ctx, data)
         if stopped:
             await self._finalize(slot, FinishReason.STOP)
-            return
+            return True
         if halted:
             await self._emit_bytes(ctx, b"", final=True)
             await self._finalize(slot, FinishReason.STOP)
-            return
+            return True
         if ctx.counter.completion >= ctx.request.max_tokens:
             await self._emit_bytes(ctx, b"", final=True)
             await self._finalize(slot, FinishReason.LENGTH)
-            return
+            return True
         slot.phase = _SlotPhase.DECODE
+        return False
 
     async def _emit_bytes(self, ctx: _ReqCtx, data: bytes,
                           final: bool = False) -> bool:
