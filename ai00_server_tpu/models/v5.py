@@ -95,12 +95,25 @@ def _att(p, att_x, wkv, x, lengths):
     u = p["time_first"]
 
     mask = length_mask(lengths, T)
-    new_wkv, y = wkv_scan(wkv, r, k, v, w, u, mask)
+    new_wkv, y = dispatch_wkv56(wkv, r, k, v, w, u, mask)
 
     y = y.reshape(B, T, C).astype(x.dtype)
     y = group_norm(y, H, p["ln_x_w"], p["ln_x_b"], GN_EPS)
     out = linear(y * g, p["output"])
     return out, update_shift_state(att_x, x, lengths), new_wkv
+
+
+def dispatch_wkv56(wkv, r, k, v, w, u, mask):
+    """Pallas kernel on TPU chunks, lax.scan otherwise (shared with v6)."""
+    from ..ops import wkv as wkv_dispatch
+
+    T = r.shape[1]
+    if wkv_dispatch.use_pallas(T) and wkv.dtype == jnp.float32:
+        from ..ops.wkv_pallas import wkv56_chunk
+
+        return wkv56_chunk(wkv, r, k, v, w, u, mask,
+                           interpret=wkv_dispatch.interpret_mode())
+    return wkv_scan(wkv, r, k, v, w, u, mask)
 
 
 def _layer(p, state, x, lengths):

@@ -31,7 +31,7 @@ from .common import (
     token_shift,
     update_shift_state,
 )
-from .v5 import wkv_scan
+from .v5 import dispatch_wkv56
 
 
 def init_state(info, batch: int, dtype=jnp.float32):
@@ -87,7 +87,7 @@ def _att(p, att_x, wkv, x, lengths):
     u = p["first"]
 
     mask = length_mask(lengths, T)
-    new_wkv, y = wkv_scan(wkv, r, k, v, w, u, mask)
+    new_wkv, y = dispatch_wkv56(wkv, r, k, v, w, u, mask)
 
     y = y.reshape(B, T, C).astype(x.dtype)
     y = group_norm(y, H, p["ln_x_w"], p["ln_x_b"], GN_EPS)

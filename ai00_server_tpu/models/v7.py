@@ -137,7 +137,18 @@ def _att(p, att_x, wkv, x, v_first, layer_idx, lengths):
     ah = a.reshape(B, T, H, N)
 
     mask = length_mask(lengths, T)
-    new_wkv, y = _wkv_scan(wkv, rh, wh, kh, vh, kk.reshape(B, T, H, N), ah, mask)
+    from ..ops import wkv as wkv_dispatch
+
+    if wkv_dispatch.use_pallas(T) and wkv.dtype == jnp.float32:
+        from ..ops.wkv_pallas import wkv7_chunk
+
+        new_wkv, y = wkv7_chunk(
+            wkv, rh, wh, kh, vh, kk.reshape(B, T, H, N), ah, mask,
+            interpret=wkv_dispatch.interpret_mode())
+        y = y.astype(x.dtype)
+    else:
+        new_wkv, y = _wkv_scan(
+            wkv, rh, wh, kh, vh, kk.reshape(B, T, H, N), ah, mask)
 
     y = y.reshape(B, T, C).astype(x.dtype)
     y = group_norm(y, H, p["ln_x_w"], p["ln_x_b"], GN_EPS)
