@@ -87,6 +87,9 @@ class Server:
     def __init__(self, config: Config):
         self.config = config
         self.middleware = Middleware()
+        from ..retrieval_store import RetrievalStore
+
+        self.retrieval = RetrievalStore()
         self.app = web.Application(client_max_size=1 << 30)
         self._routes()
 
@@ -170,6 +173,12 @@ class Server:
                    self._admin(self.admin_config_load))
         r.add_post("/admin/files/config/save",
                    self._admin(self.admin_config_save))
+        r.add_post("/api/retrieval/index", self.retrieval_index)
+        r.add_post("/api/retrieval/add", self.retrieval_add)
+        r.add_post("/api/retrieval/search", self.retrieval_search)
+        r.add_post("/api/retrieval/build", self.retrieval_build)
+        r.add_get("/api/retrieval/list", self.retrieval_list)
+        r.add_post("/api/retrieval/drop", self.retrieval_drop)
         r.add_get("/api-docs/openapi.json", self.openapi_json)
         r.add_get("/api-docs", self.swagger)
         r.add_get("/api-docs/", self.swagger)
@@ -233,6 +242,29 @@ class Server:
         user = names.get("user", "User")
         prefix = prefix_tpl.replace("{assistant}", assistant) \
             .replace("{user}", user)
+
+        # Retrieval-augmented chat (beyond the reference): embed the last
+        # user turn, search a named index, prepend the hits as context.
+        rag = body.get("retrieval")
+        if rag and messages:
+            last_user = next(
+                (str(m.get("content", "")) for m in reversed(messages)
+                 if str(m.get("role", "")).lower() == "user"), None)
+            if last_user:
+                q = await self._embed_texts(env, [last_user])
+                _, _, texts = self.retrieval.search(
+                    rag["index"], q, top_k=int(rag.get("top_k", 4)),
+                    nprobe=int(rag.get("nprobe", 8)))
+                docs = [t for t in texts[0] if t]
+                if docs:
+                    tpl = rag.get("template",
+                                  "Relevant information:\n{documents}")
+                    block = tpl.replace("{documents}", "\n".join(docs))
+                    parts.insert(0, record_tpl
+                                 .replace("{role}", names.get(
+                                     "system", "System"))
+                                 .replace("{content}", block))
+
         prompt = sep.join(parts) + sep + prefix
 
         req = GenerateRequest(
@@ -410,19 +442,20 @@ class Server:
             "usage": _usage(counter),
         })
 
-    async def embeddings(self, request: web.Request):
+    async def _embed_texts(self, env, texts: list[str],
+                           state_field=None) -> np.ndarray:
         """Model-derived sentence embeddings: the final-layer token-shift
-        state (last hidden features) per input, L2-normalized."""
-        body = await request.json()
-        env = await self._env()
-        inputs = _array(body.get("input"))
-        data = []
-        for i, text in enumerate(inputs):
+        state (last hidden features) per input, L2-normalized.  Texts are
+        submitted concurrently — the runtime batches them across slots."""
+        state_id = await self._resolve_state(env, state_field)
+        handles = []
+        for text in texts:
             req = GenerateRequest(prompt=str(text), max_tokens=1,
                                   kind=GenerateKind.STATE,
-                                  state_id=await self._resolve_state(
-                                      env, body.get("state")))
-            handle = await env.runtime.submit(req)
+                                  state_id=state_id)
+            handles.append(await env.runtime.submit(req))
+        vecs = []
+        for handle in handles:
             state = None
             async for msg in handle:
                 if msg[0] == "embed":
@@ -431,12 +464,103 @@ class Server:
             norm = float(np.linalg.norm(vec))
             if norm > 0:
                 vec = vec / norm
-            data.append({"object": "embedding", "index": i,
-                         "embedding": vec.tolist()})
+            vecs.append(vec)
+        return np.stack(vecs)
+
+    async def embeddings(self, request: web.Request):
+        body = await request.json()
+        env = await self._env()
+        inputs = [str(t) for t in _array(body.get("input"))]
+        vecs = await self._embed_texts(env, inputs, body.get("state"))
+        data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
+                for i, v in enumerate(vecs)]
         return web.json_response({
             "object": "list", "model": self._model_name(), "data": data,
             "usage": {"prompt_tokens": 0, "total_tokens": 0},
         })
+
+    # -- retrieval (RAG) ------------------------------------------------------
+
+    async def retrieval_index(self, request: web.Request):
+        body = await request.json()
+        name = body["name"]
+        texts = [str(t) for t in _array(body.get("texts"))]
+        vectors = body.get("vectors")
+        if vectors is not None:
+            vecs = np.asarray(vectors, np.float32)
+            self.retrieval.create(name, int(vecs.shape[-1]))
+            self.retrieval.add(name, vecs, texts or None)
+        elif texts:
+            env = await self._env()
+            vecs = await self._embed_texts(env, texts)
+            self.retrieval.create(name, int(vecs.shape[-1]))
+            self.retrieval.add(name, vecs, texts)
+        else:
+            self.retrieval.create(name, int(body.get("dim", 0)))
+        if body.get("nlist"):
+            loop = asyncio.get_event_loop()
+            await loop.run_in_executor(
+                None, self.retrieval.build_ivf, name, int(body["nlist"]))
+        idx = self.retrieval.get(name)
+        return web.json_response({"name": name, "size": idx.size,
+                                  "dim": idx.dim})
+
+    async def retrieval_add(self, request: web.Request):
+        body = await request.json()
+        name = body["name"]
+        texts = [str(t) for t in _array(body.get("texts"))]
+        if body.get("vectors") is not None:
+            size = self.retrieval.add(
+                name, np.asarray(body["vectors"], np.float32),
+                texts or None)
+        else:
+            env = await self._env()
+            vecs = await self._embed_texts(env, texts)
+            size = self.retrieval.add(name, vecs, texts)
+        return web.json_response({"name": name, "size": size})
+
+    async def retrieval_build(self, request: web.Request):
+        body = await request.json()
+        loop = asyncio.get_event_loop()
+        await loop.run_in_executor(
+            None, lambda: self.retrieval.build_ivf(
+                body["name"], int(body.get("nlist", 64)),
+                int(body.get("iters", 10))))
+        return web.json_response({"state": "built"})
+
+    async def retrieval_search(self, request: web.Request):
+        body = await request.json()
+        name = body["name"]
+        if body.get("vectors") is not None:
+            q = np.asarray(body["vectors"], np.float32)
+        else:
+            env = await self._env()
+            queries = [str(t) for t in
+                       _array(body.get("query") or body.get("queries"))]
+            q = await self._embed_texts(env, queries)
+        loop = asyncio.get_event_loop()
+        scores, ids, texts = await loop.run_in_executor(
+            None, lambda: self.retrieval.search(
+                name, q, top_k=int(body.get("top_k", 10)),
+                nprobe=int(body.get("nprobe", 8)),
+                exact=body.get("exact")))
+        return web.json_response({
+            "object": "list",
+            "data": [{
+                "index": qi,
+                "hits": [{"id": int(i), "score": float(s), "text": t}
+                         for i, s, t in zip(ids[qi], scores[qi], texts[qi])
+                         if i >= 0],
+            } for qi in range(len(ids))],
+        })
+
+    async def retrieval_list(self, request: web.Request):
+        return web.json_response(self.retrieval.list())
+
+    async def retrieval_drop(self, request: web.Request):
+        body = await request.json()
+        self.retrieval.drop(body["name"])
+        return web.json_response({"state": "dropped"})
 
     async def oai_models(self, request: web.Request):
         env = await self._env()

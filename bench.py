@@ -37,6 +37,51 @@ def build_model(num_layer, num_emb, head_size, num_vocab, dtype):
     return LoadedModel(info=info, params=params, init_wkv=None), info
 
 
+def bench_retrieval():
+    """Embeddings-retrieval QPS at 1M vectors (BASELINE.md north star:
+    >= 10k QPS with recall@10 at 1M vectors on one v5e chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai00_server_tpu.ops import retrieval as R
+
+    N = int(os.environ.get("BENCH_RET_N", "1000000"))
+    D = int(os.environ.get("BENCH_RET_DIM", "1024"))
+    Q = int(os.environ.get("BENCH_RET_BATCH", "64"))
+    rounds = int(os.environ.get("BENCH_RET_ROUNDS", "20"))
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    q = x[:Q] + 0.01 * rng.standard_normal((Q, D)).astype(np.float32)
+
+    xd = jnp.asarray(x, jnp.bfloat16)
+    qd = jnp.asarray(q, jnp.bfloat16)
+    scores, ids = R.exact_search(xd, qd, k=10)
+    jax.block_until_ready((scores, ids))
+    # recall@1 sanity: perturbed vectors find themselves
+    recall1 = float(np.mean(np.asarray(ids)[:, 0] == np.arange(Q)))
+
+    t0 = time.time()
+    for _ in range(rounds):
+        scores, ids = R.exact_search(xd, qd, k=10)
+    jax.block_until_ready((scores, ids))
+    dt = time.time() - t0
+    qps = Q * rounds / dt
+
+    result = {
+        "metric": f"exact_mips_qps_{N // 1000}k_d{D}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 10000.0, 2),  # north-star 10k QPS
+    }
+    print(json.dumps(result))
+    print(json.dumps({"detail": {"recall1": recall1, "batch": Q,
+                                 "ms_per_batch": round(dt / rounds * 1e3, 2),
+                                 "device": str(jax.devices()[0])}}),
+          file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -123,4 +168,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "retrieval":
+        bench_retrieval()
+    else:
+        main()

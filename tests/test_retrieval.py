@@ -1,0 +1,152 @@
+"""Retrieval ops: exact vs IVF recall, store, HTTP API, RAG chat."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai00_server_tpu.ops import retrieval as R
+from ai00_server_tpu.retrieval_store import RetrievalStore
+
+
+def make_data(n=2000, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_exact_search_correct():
+    x = make_data(500, 32)
+    q = x[:7] + 0.01  # queries near known vectors
+    scores, ids = R.exact_search(jnp.asarray(x), jnp.asarray(q), k=5)
+    want = np.argmax(x @ q.T, axis=0)
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], want)
+    # top-1 should be the perturbed source vector itself
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(7))
+
+
+def make_clustered(n=2000, d=64, n_clusters=32, seed=0, spread=0.15):
+    """Mixture-of-gaussians data — the regime IVF is designed for."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    x = centers[assign] + spread * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return (x / np.linalg.norm(x, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def test_ivf_recall():
+    x = make_clustered(2000, 64)
+    idx = R.build_ivf(x, nlist=32, iters=8)
+    q = make_clustered(50, 64, seed=9)
+    s_exact, ids_exact = R.exact_search(jnp.asarray(x), jnp.asarray(q), k=10)
+    s_ivf, ids_ivf = R.ivf_search(
+        idx.centroids, idx.packed, idx.packed_ids, jnp.asarray(q),
+        k=10, nprobe=8)
+    ids_exact = np.asarray(ids_exact)
+    ids_ivf = np.asarray(ids_ivf)
+    recall = np.mean([
+        len(set(ids_exact[i]) & set(ids_ivf[i])) / 10
+        for i in range(len(q))])
+    assert recall >= 0.8, f"recall@10 = {recall}"
+    # Full probe = exact.
+    _, ids_full = R.ivf_search(
+        idx.centroids, idx.packed, idx.packed_ids, jnp.asarray(q),
+        k=10, nprobe=32)
+    # bf16 scoring ties at the k boundary keep this just below 1.0.
+    assert np.mean([
+        len(set(ids_exact[i]) & set(np.asarray(ids_full)[i])) / 10
+        for i in range(len(q))]) >= 0.95
+
+
+def test_store_roundtrip():
+    store = RetrievalStore()
+    store.create("docs", 16)
+    x = make_data(100, 16)
+    texts = [f"doc{i}" for i in range(100)]
+    assert store.add("docs", x, texts) == 100
+    scores, ids, hit_texts = store.search("docs", x[:3], top_k=1)
+    assert [t[0] for t in hit_texts] == ["doc0", "doc1", "doc2"]
+    store.build_ivf("docs", nlist=8)
+    scores, ids, hit_texts = store.search("docs", x[:3], top_k=1, nprobe=8)
+    assert [t[0] for t in hit_texts] == ["doc0", "doc1", "doc2"]
+    assert store.list()[0]["ivf"] is True
+    store.drop("docs")
+    assert store.list() == []
+
+
+def test_retrieval_http_and_rag(tmp_path_factory):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_http import site as _site_fixture  # reuse builder logic
+    from ai00_server_tpu.server.app import Server
+    from ai00_server_tpu.server.config import Config
+    import json
+    from ai00_server_tpu import loader
+    from ai00_server_tpu.models import ModelVersion
+    from ai00_server_tpu.testing import make_tiny_model
+    from test_loader import to_converted_layout
+
+    root = tmp_path_factory.mktemp("ragsite")
+    models = root / "assets" / "models"
+    tok_dir = root / "assets" / "tokenizer"
+    models.mkdir(parents=True)
+    tok_dir.mkdir(parents=True)
+    info, raw, _ = make_tiny_model(ModelVersion.V7, seed=40,
+                                   dtype=np.float32, num_vocab=64)
+    loader.save_safetensors(to_converted_layout(raw),
+                            str(models / "tiny.st"), dtype=np.float32)
+    vocab = {str(i): chr(64 + i) for i in range(1, 60)}
+    (tok_dir / "vocab.json").write_text(json.dumps(vocab))
+
+    async def main():
+        config = Config.from_dict({
+            "model": {"name": "tiny.st", "path": str(models),
+                      "max_batch": 4, "token_chunk_size": 8},
+            "tokenizer": {"path": str(tok_dir / "vocab.json")},
+        })
+        server = Server(config)
+        await server.middleware.reload(
+            config.to_reload_request(sandbox=False))
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/api/retrieval/index", json={
+                "name": "kb", "texts": ["ABBA", "BAAB", "CAB"]})
+            assert r.status == 200, await r.text()
+            assert (await r.json())["size"] == 3
+
+            r = await client.post("/api/retrieval/add", json={
+                "name": "kb", "texts": ["DAD"]})
+            assert (await r.json())["size"] == 4
+
+            r = await client.post("/api/retrieval/search", json={
+                "name": "kb", "query": "ABBA", "top_k": 2})
+            body = await r.json()
+            hits = body["data"][0]["hits"]
+            assert len(hits) == 2
+            assert hits[0]["text"] == "ABBA"  # self-match ranks first
+
+            r = await client.get("/api/retrieval/list")
+            assert (await r.json())[0]["name"] == "kb"
+
+            # RAG chat: retrieved docs injected into the prompt.
+            r = await client.post("/api/oai/chat/completions", json={
+                "messages": [{"role": "user", "content": "ABBA"}],
+                "retrieval": {"index": "kb", "top_k": 2},
+                "max_tokens": 3,
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert body["choices"][0]["message"]["content"] is not None
+        finally:
+            await client.close()
+            await server.middleware.unload()
+
+    asyncio.run(main())
