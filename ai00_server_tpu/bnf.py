@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from .grammar import GrammarEngine
+from .native import make_grammar_engine
 
 
 class BnfFormatter:
     def __init__(self, schema: str, tokenizer, vocab: int,
                  start_nonterminal: str = "start"):
-        self.engine = GrammarEngine(schema, start=start_nonterminal)
+        # Native (C++) Earley engine when buildable; Python fallback.
+        self.engine = make_grammar_engine(schema, start=start_nonterminal)
         self.tokenizer = tokenizer
         self.vocab = vocab
         self._finished = False
