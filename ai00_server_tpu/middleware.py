@@ -32,7 +32,7 @@ from .runtime import Runtime
 from .tokenizer import Tokenizer
 
 DEFAULT_TOKENIZER = "assets/tokenizer/rwkv_vocab_v20230424.json"
-MAX_TOKENS = 4096  # reference MAX_TOKENS cap on max_tokens per request
+MAX_TOKENS = 2**31  # reference: usize::MAX, i.e. unbounded (lib.rs:43)
 
 
 @dataclass

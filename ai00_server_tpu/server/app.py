@@ -182,6 +182,7 @@ class Server:
         r.add_get("/api-docs/openapi.json", self.openapi_json)
         r.add_get("/api-docs", self.swagger)
         r.add_get("/api-docs/", self.swagger)
+        r.add_get("/", self.webui)
 
     # -- auth ---------------------------------------------------------------
 
@@ -680,6 +681,11 @@ class Server:
 
     async def swagger(self, request: web.Request):
         return web.Response(text=SWAGGER_HTML, content_type="text/html")
+
+    async def webui(self, request: web.Request):
+        from .webui import WEBUI_HTML
+
+        return web.Response(text=WEBUI_HTML, content_type="text/html")
 
 
 def _usage(counter) -> dict:
