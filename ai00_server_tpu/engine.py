@@ -165,11 +165,17 @@ class Engine:
     # The step
     # ------------------------------------------------------------------
 
-    def _get_step(self, T: int, want_logits: bool):
-        key = (T, want_logits)
+    def _sampler_key(self):
+        """Static compile key for the sampler: (kinds present, top-k cap)."""
+        return (sampling.kinds_key(self.sampler_params_host["kind"]),
+                sampling.k_cap_key(self.sampler_params_host["top_k"]))
+
+    def _get_step(self, T: int, want_logits: bool, skey):
+        key = (T, want_logits, skey)
         fn = self._steps.get(key)
         if fn is None:
             module = self.module
+            kinds, k_cap = skey
 
             @functools.partial(jax.jit, donate_argnums=(1, 2),
                                static_argnums=(10,))
@@ -184,16 +190,15 @@ class Engine:
                 )
                 rand = jax.random.uniform(
                     rng, (tokens.shape[0],), jnp.float32)
-                toks, probs, new_ss = sampling.sample_with_rand(
+                toks, sp, new_ss = sampling.sample_with_rand(
                     rand, logits, sparams, sampler_state,
-                    bias=bias, allowed_mask=mask)
+                    bias=bias, allowed_mask=mask, kinds=kinds, k_cap=k_cap)
                 # Rows not sampling keep their sampler state untouched.
                 new_ss = jax.tree.map(
                     lambda new, old: jnp.where(
                         sample_mask.reshape((-1,) + (1,) * (new.ndim - 1)),
                         new, old),
                     new_ss, sampler_state)
-                sp = probs[jnp.arange(toks.shape[0]), toks]
                 out_logits = logits if ret_logits else None
                 return toks, sp, new_state, new_ss, out_logits
 
@@ -215,7 +220,7 @@ class Engine:
             B, T = tokens.shape
             assert B == self.max_batch
             self._rng, sub = jax.random.split(self._rng)
-            fn = self._get_step(T, want_logits)
+            fn = self._get_step(T, want_logits, self._sampler_key())
             sparams = self._sparams()
             toks, sp, self.state_pool, self.sampler_state, logits = fn(
                 self.model.params, self.state_pool, self.sampler_state,
@@ -240,10 +245,11 @@ class Engine:
     # Multi-token decode scan: K tokens per host round-trip
     # ------------------------------------------------------------------
 
-    def _get_decode_scan(self, K: int):
-        fn = self._decode_scans.get(K)
+    def _get_decode_scan(self, K: int, skey):
+        fn = self._decode_scans.get((K, skey))
         if fn is None:
             module = self.module
+            kinds, k_cap = skey
 
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def decode_scan(params, state, sampler_state, first_tokens,
@@ -259,16 +265,16 @@ class Engine:
                         hidden[:, 0], params["head"].astype(hidden.dtype),
                         preferred_element_type=jnp.float32)
                     rand = jax.random.uniform(rng_t, (B,), jnp.float32)
-                    t2, probs, ss2 = sampling.sample_with_rand(
+                    t2, sp, ss2 = sampling.sample_with_rand(
                         rand, logits, sparams, ss,
-                        bias=bias, allowed_mask=mask)
+                        bias=bias, allowed_mask=mask, kinds=kinds,
+                        k_cap=k_cap)
                     ss2 = jax.tree.map(
                         lambda new, old: jnp.where(
                             active.reshape((-1,) + (1,) * (new.ndim - 1)),
                             new, old),
                         ss2, ss)
                     t2 = jnp.where(active, t2, toks)
-                    sp = probs[jnp.arange(B), t2]
                     return (state, ss2, t2), (t2, sp)
 
                 rngs = jax.random.split(rng, K)
@@ -277,7 +283,7 @@ class Engine:
                 return toks_seq, sp_seq, state, ss
 
             fn = decode_scan
-            self._decode_scans[K] = fn
+            self._decode_scans[(K, skey)] = fn
         return fn
 
     def decode_chunk(self, first_tokens: np.ndarray, active: np.ndarray,
@@ -292,7 +298,7 @@ class Engine:
         """
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
-            fn = self._get_decode_scan(steps)
+            fn = self._get_decode_scan(steps, self._sampler_key())
             toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 jnp.asarray(first_tokens, jnp.int32),
@@ -311,11 +317,11 @@ class Engine:
             mask = np.zeros(B, np.bool_)
             mask[b] = True
             self._rng, sub = jax.random.split(self._rng)
-            sparams = {k: jnp.asarray(v)
-                       for k, v in self.sampler_params_host.items()}
+            kinds, k_cap = self._sampler_key()
             toks, _, self.sampler_state = _sample_only_jit(
-                sub, jnp.asarray(full), sparams, self.sampler_state,
-                self.bias_pool, self.mask_pool, jnp.asarray(mask))
+                sub, jnp.asarray(full), self._sparams(), self.sampler_state,
+                self.bias_pool, self.mask_pool, jnp.asarray(mask),
+                kinds, k_cap)
             return int(np.asarray(toks)[b])
 
     # ------------------------------------------------------------------
@@ -367,17 +373,18 @@ class Engine:
         return np.asarray(lp[0])
 
 
-@functools.partial(jax.jit, donate_argnums=(3,))
+@functools.partial(jax.jit, donate_argnums=(3,), static_argnums=(7, 8))
 def _sample_only_jit(rng, logits, sparams, sampler_state, bias, mask,
-                     row_mask):
+                     row_mask, kinds, k_cap):
     rand = jax.random.uniform(rng, (logits.shape[0],), jnp.float32)
-    toks, probs, new_ss = sampling.sample_with_rand(
-        rand, logits, sparams, sampler_state, bias=bias, allowed_mask=mask)
+    toks, sp, new_ss = sampling.sample_with_rand(
+        rand, logits, sparams, sampler_state, bias=bias, allowed_mask=mask,
+        kinds=kinds, k_cap=k_cap)
     new_ss = jax.tree.map(
         lambda new, old: jnp.where(
             row_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
         new_ss, sampler_state)
-    return toks, probs, new_ss
+    return toks, sp, new_ss
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

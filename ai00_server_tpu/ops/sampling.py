@@ -126,12 +126,6 @@ def _topk_cut_sample(probs_sorted, rand, cut_param, top_k, temperature):
     return first_hit
 
 
-def _nucleus_row(probs, rand, p):
-    vals, idx = jax.lax.top_k(probs, min(TOP_K_CAP, probs.shape[0]))
-    sel = _topk_cut_sample(vals, rand, p["top_p"], p["top_k"], p["temperature"])
-    return idx[sel]
-
-
 def _typical_row(probs, rand, p):
     logp = jnp.log(jnp.maximum(probs, 1e-38))
     entropy = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0))
@@ -173,48 +167,89 @@ def _mirostat_row(probs, rand, max_surprise):
     return token, token_surprise
 
 
-def sample_step(rng, logits, params, state, bias=None, allowed_mask=None):
+def sample_step(rng, logits, params, state, bias=None, allowed_mask=None,
+                kinds=None):
     """One batched sampling step.  Fully jit-able; fuses into the decode step.
 
     rng: PRNG key; logits: (B, V) raw model logits.
     Returns (tokens (B,) int32, probs (B, V) f32, new_state).
     """
     rand = jax.random.uniform(rng, (logits.shape[0],), jnp.float32)
-    return sample_with_rand(rand, logits, params, state, bias, allowed_mask)
+    return sample_with_rand(rand, logits, params, state, bias, allowed_mask,
+                            kinds=kinds)
 
 
-def sample_with_rand(rand, logits, params, state, bias=None, allowed_mask=None):
+def sample_with_rand(rand, logits, params, state, bias=None,
+                     allowed_mask=None, kinds=None, k_cap=None):
     """Deterministic core of :func:`sample_step` given uniform draws
-    ``rand`` (B,) in [0, 1) — split out so tests can pin the randomness."""
+    ``rand`` (B,) in [0, 1) — split out so tests can pin the randomness.
+
+    ``kinds``: static tuple of sampler kinds present in this batch; only
+    those branches are compiled (a vmap'd switch would execute ALL of
+    them — two full top-k sorts plus a 65k cumsum per decode step).
+    ``k_cap``: static top-k width (defaults to TOP_K_CAP).
+    """
     B, V = logits.shape
+    if kinds is None:
+        kinds = (KIND_NUCLEUS, KIND_TYPICAL, KIND_MIROSTAT, KIND_GREEDY)
+    kinds = tuple(sorted(set(int(k) for k in kinds)))
+    K = min(int(k_cap or TOP_K_CAP), V)
+
     x = transform_logits(logits, state, bias, allowed_mask)
-    probs = jax.nn.softmax(x, axis=-1)
+    lse = jax.nn.logsumexp(x, axis=-1)  # (B,) log partition
 
-    def row(probs_b, rand_b, pb, ms_b):
-        nuc = _nucleus_row(probs_b, rand_b, pb)
-        typ = _typical_row(probs_b, rand_b, {**pb, "tau": pb["top_p"]})
-        mir, surprise = _mirostat_row(probs_b, rand_b, ms_b)
-        greedy = jnp.argmax(probs_b)
-        token = jax.lax.switch(
-            jnp.clip(pb["kind"], 0, 3),
-            [lambda: nuc, lambda: typ, lambda: mir, lambda: greedy],
-        )
-        # Mirostat state update (mirostat.rs:84-88).
-        err = surprise - pb["miro_tau"]
-        ms_new = jnp.minimum(ms_b - pb["miro_rate"] * err, 4.0 * pb["miro_tau"])
-        ms_new = jnp.where(pb["kind"] == KIND_MIROSTAT, ms_new, ms_b)
-        return token.astype(jnp.int32), ms_new
-
-    # typical's tau rides the top_p slot host-side (scheduler maps tau->top_p
-    # for typical requests); both default to 0.5.
     pb = {k: params[k] for k in
           ("kind", "top_p", "top_k", "temperature", "miro_tau", "miro_rate")}
-    tokens, ms = jax.vmap(row)(probs, rand, pb, state["max_surprise"])
+    ms = state["max_surprise"]
+
+    # Full-vocab probs only if a branch needs them (typical / mirostat).
+    need_full = (KIND_TYPICAL in kinds) or (KIND_MIROSTAT in kinds)
+    probs_full = jnp.exp(x - lse[:, None]) if need_full else None
+
+    tokens = jnp.zeros(B, jnp.int32)
+    new_ms = ms
+
+    if KIND_NUCLEUS in kinds:
+        # top-k on logits == top-k on probs; normalize the k slice by lse.
+        vals, idx = jax.lax.top_k(x, K)
+        pk = jnp.exp(vals - lse[:, None])  # (B, K) descending probs
+
+        def nuc_row(pk_b, idx_b, rand_b, p):
+            sel = _topk_cut_sample(pk_b, rand_b, p["top_p"], p["top_k"],
+                                   p["temperature"])
+            return idx_b[sel]
+
+        nuc = jax.vmap(nuc_row)(pk, idx, rand, pb)
+        tokens = jnp.where(pb["kind"] == KIND_NUCLEUS, nuc, tokens)
+
+    if KIND_TYPICAL in kinds:
+        def typ_row(probs_b, rand_b, p):
+            return _typical_row(probs_b, rand_b,
+                                {**p, "tau": p["top_p"]})
+
+        typ = jax.vmap(typ_row)(probs_full, rand, pb)
+        tokens = jnp.where(pb["kind"] == KIND_TYPICAL, typ, tokens)
+
+    if KIND_MIROSTAT in kinds:
+        mir, surprise = jax.vmap(_mirostat_row)(probs_full, rand, ms)
+        tokens = jnp.where(pb["kind"] == KIND_MIROSTAT,
+                           mir.astype(jnp.int32), tokens)
+        # Mirostat state update (mirostat.rs:84-88).
+        err = surprise - pb["miro_tau"]
+        upd = jnp.minimum(ms - pb["miro_rate"] * err, 4.0 * pb["miro_tau"])
+        new_ms = jnp.where(pb["kind"] == KIND_MIROSTAT, upd, new_ms)
+
+    if KIND_GREEDY in kinds:
+        greedy = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        tokens = jnp.where(pb["kind"] == KIND_GREEDY, greedy, tokens)
+
+    tokens = tokens.astype(jnp.int32)
+    rows = jnp.arange(B)
+    sp = jnp.exp(x[rows, tokens] - lse)  # prob of the sampled token
 
     # Penalty update (nucleus.rs:104-117): decay all, then bump the sampled
     # token: seen ? decayed + frequency : presence.
     pen = state["penalties"] * params["decay"][:, None]
-    rows = jnp.arange(B)
     tok_seen = state["seen"][rows, tokens]
     new_val = jnp.where(
         tok_seen, pen[rows, tokens] + params["frequency"], params["presence"]
@@ -222,10 +257,19 @@ def sample_with_rand(rand, logits, params, state, bias=None, allowed_mask=None):
     pen = pen.at[rows, tokens].set(new_val)
     seen = state["seen"].at[rows, tokens].set(True)
 
-    new_state = {"penalties": pen, "seen": seen, "max_surprise": ms}
-    return tokens, probs, new_state
+    new_state = {"penalties": pen, "seen": seen, "max_surprise": new_ms}
+    return tokens, sp, new_state
 
 
-@functools.partial(jax.jit, donate_argnums=(3,))
-def sample_step_jit(rng, logits, params, state, bias, allowed_mask):
-    return sample_step(rng, logits, params, state, bias, allowed_mask)
+def kinds_key(kind_array) -> tuple:
+    """Static compile key: the sampler kinds present in a host batch."""
+    return tuple(sorted({int(k) for k in kind_array}))
+
+
+def k_cap_key(top_k_array) -> int:
+    """Static top-k width bucket (powers of two from 128 to TOP_K_CAP)."""
+    need = int(max(1, min(TOP_K_CAP, max(int(k) for k in top_k_array))))
+    cap = 128
+    while cap < need:
+        cap *= 2
+    return min(cap, TOP_K_CAP)

@@ -241,10 +241,10 @@ def test_bias_and_mask():
     logits = jnp.zeros((1, vocab), jnp.float32).at[0, 3].set(4.0)
 
     mask = jnp.ones((1, vocab), bool).at[0, 3].set(False)
-    tok, probs, _ = S.sample_with_rand(
+    tok, sp, _ = S.sample_with_rand(
         jnp.zeros(1, jnp.float32), logits, params, state, allowed_mask=mask)
     assert int(tok[0]) != 3
-    assert float(probs[0, 3]) == 0.0
+    assert 0.0 < float(sp[0]) <= 1.0
 
     bias = jnp.zeros((1, vocab), jnp.float32).at[0, 11].set(100.0)
     tok, _, _ = S.sample_with_rand(
