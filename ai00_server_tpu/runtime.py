@@ -331,6 +331,17 @@ class Runtime:
         self._wake = asyncio.Event()
         self._stopped = False
         self._task: asyncio.Task | None = None
+        # Observability counters (SURVEY.md §5.1: the reference only has
+        # per-request TokenCounter; we add runtime-level aggregates).
+        self.metrics = {
+            "steps": 0,
+            "prefill_tokens": 0,
+            "decode_tokens": 0,
+            "requests_started": 0,
+            "requests_finished": 0,
+            "cache_hits": 0,
+            "step_seconds": 0.0,
+        }
 
     # ------------------------------------------------------------------
     # Public API
@@ -442,9 +453,13 @@ class Runtime:
                         s.index, s.ctx.formatter.allowed_mask())
 
             want_logits = bool(completing)
+            t0 = time.monotonic()
             result = await loop.run_in_executor(
                 None, self.engine.step, tokens, lengths, sample_mask,
                 want_logits)
+            self.metrics["steps"] += 1
+            self.metrics["step_seconds"] += time.monotonic() - t0
+            self.metrics["prefill_tokens"] += int(lengths.sum())
 
             for s in completing:
                 if result.logits is not None:
@@ -466,8 +481,12 @@ class Runtime:
         for s in active:
             first[s.index] = s.ctx.all_tokens[-1]
             mask[s.index] = True
+        t0 = time.monotonic()
         toks_seq, _sp = await loop.run_in_executor(
             None, self.engine.decode_chunk, first, mask, K)
+        self.metrics["steps"] += 1
+        self.metrics["step_seconds"] += time.monotonic() - t0
+        self.metrics["decode_tokens"] += int(mask.sum()) * K
         for s in active:
             ctx = s.ctx
             b = s.index
@@ -580,6 +599,9 @@ class Runtime:
 
         slot.ctx = ctx
         slot.resident_state_id = ctx.state_id
+        self.metrics["requests_started"] += 1
+        if reused:
+            self.metrics["cache_hits"] += 1
         await ctx.handle.queue.put(("start",))
 
         if exact_item is not None \
@@ -724,6 +746,7 @@ class Runtime:
             cache.insert(key, CachedItem(state=state, logits=None, tokens=key))
             cache.maintain()
 
+        self.metrics["requests_finished"] += 1
         await ctx.handle.queue.put(("stop", reason, ctx.counter))
         await ctx.handle.queue.put(("done",))
         slot.resident_tokens = tuple(ctx.all_tokens)

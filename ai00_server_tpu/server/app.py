@@ -173,6 +173,9 @@ class Server:
                    self._admin(self.admin_config_load))
         r.add_post("/admin/files/config/save",
                    self._admin(self.admin_config_save))
+        r.add_get("/api/metrics", self.metrics)
+        r.add_post("/admin/profile/start", self._admin(self.profile_start))
+        r.add_post("/admin/profile/stop", self._admin(self.profile_stop))
         r.add_post("/api/retrieval/index", self.retrieval_index)
         r.add_post("/api/retrieval/add", self.retrieval_add)
         r.add_post("/api/retrieval/search", self.retrieval_search)
@@ -600,6 +603,39 @@ class Server:
         except (ConnectionResetError, asyncio.CancelledError):
             pass
         return resp
+
+    async def metrics(self, request: web.Request):
+        """Prometheus-style text metrics (the reference has no metrics
+        endpoint; its SSE info stream is the closest analog)."""
+        lines = []
+        env = self.middleware.env
+        lines.append(f"ai00_model_loaded {int(env is not None)}")
+        if env is not None:
+            m = env.runtime.metrics
+            for k, v in m.items():
+                lines.append(f"ai00_runtime_{k} {v}")
+            lines.append(f"ai00_slots_busy {env.runtime.busy_count()}")
+            lines.append(f"ai00_slots_total {env.runtime.max_batch}")
+            steps = max(m["steps"], 1)
+            lines.append(
+                f"ai00_step_seconds_avg {m['step_seconds'] / steps:.6f}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def profile_start(self, request: web.Request):
+        """Start a JAX profiler trace (admin).  Body: {dir}."""
+        import jax
+
+        body = await request.json()
+        trace_dir = body.get("dir", "/tmp/ai00_profile")
+        jax.profiler.start_trace(trace_dir)
+        return web.json_response({"state": "tracing", "dir": trace_dir})
+
+    async def profile_stop(self, request: web.Request):
+        import jax
+
+        jax.profiler.stop_trace()
+        return web.json_response({"state": "stopped"})
 
     async def models_list(self, request: web.Request):
         model_dir = self.config.model.get("path", "assets/models")
