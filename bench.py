@@ -133,7 +133,7 @@ def main():
 
     # Decode via the production fast path: K tokens per device dispatch
     # (the runtime's chunked-decode scan).  Warmup compiles, then timed.
-    K = int(os.environ.get("BENCH_DECODE_CHUNK", "16"))
+    K = int(os.environ.get("BENCH_DECODE_CHUNK", "32"))
     cur = res.tokens.astype(np.int32)
     toks_seq, _ = engine.decode_chunk(cur, mask, K)
     cur = toks_seq[-1]
