@@ -151,6 +151,21 @@ class Middleware:
             model = await loop.run_in_executor(None, _load)
             tokenizer = await loop.run_in_executor(
                 None, Tokenizer.from_file, request.tokenizer_path)
+
+            # Adapter selection (reference AdapterOption Auto/Economical/
+            # Manual(idx), lib.rs:351-368): pin params to a device.
+            import jax
+
+            device = None
+            adapter = request.adapter
+            if isinstance(adapter, dict) and "Manual" in adapter:
+                idx = int(adapter["Manual"])
+                devs = jax.devices()
+                if 0 <= idx < len(devs):
+                    device = devs[idx]
+            if device is not None:
+                model.params = jax.device_put(model.params, device)
+
             engine = Engine(
                 model,
                 max_batch=request.max_batch,

@@ -83,6 +83,20 @@ def _sampler_from_json(obj: dict | None, top_p=0.5, top_k=128,
                        top_p=float(obj.get("top_p", 0.5)), **common)
 
 
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    """Permissive CORS (reference: main.rs:245-249 allows any origin,
+    GET/POST/DELETE, any headers)."""
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, DELETE"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    return resp
+
+
 class Server:
     def __init__(self, config: Config):
         self.config = config
@@ -90,7 +104,8 @@ class Server:
         from ..retrieval_store import RetrievalStore
 
         self.retrieval = RetrievalStore()
-        self.app = web.Application(client_max_size=1 << 30)
+        self.app = web.Application(client_max_size=1 << 30,
+                                   middlewares=[cors_middleware])
         self._routes()
 
     # -- helpers -----------------------------------------------------------

@@ -31,11 +31,26 @@ def tiny_info(version: ModelVersion, num_layer=3, num_emb=32, head_size=16,
     )
 
 
+_RAW_DTYPE = np.float64  # tests need f64; big benches override to f32
+
+
 def _rand(rng, *shape, scale=0.4):
-    return rng.standard_normal(shape).astype(np.float64) * scale
+    return (rng.standard_normal(shape, dtype=np.float32) * scale
+            if _RAW_DTYPE == np.float32
+            else rng.standard_normal(shape).astype(np.float64) * scale)
 
 
-def make_raw_weights(info: ModelInfo, seed=0) -> dict[str, np.ndarray]:
+def make_raw_weights(info: ModelInfo, seed=0,
+                     dtype=np.float64) -> dict[str, np.ndarray]:
+    global _RAW_DTYPE
+    _RAW_DTYPE = dtype
+    try:
+        return _make_raw_weights(info, seed)
+    finally:
+        _RAW_DTYPE = np.float64
+
+
+def _make_raw_weights(info: ModelInfo, seed=0) -> dict[str, np.ndarray]:
     """Random weights keyed/oriented like the *math* layout (x @ W).
 
     Keys follow the converted-safetensors naming so the same dict can be fed

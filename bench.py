@@ -32,7 +32,7 @@ def build_model(num_layer, num_emb, head_size, num_vocab, dtype):
 
     info = tiny_info(ModelVersion.V7, num_layer=num_layer, num_emb=num_emb,
                      head_size=head_size, num_vocab=num_vocab)
-    raw = make_raw_weights(info, seed=0)
+    raw = make_raw_weights(info, seed=0, dtype=np.float32)
     params = stack_params(info, raw, dtype=dtype)
     return LoadedModel(info=info, params=params, init_wkv=None), info
 
