@@ -398,76 +398,99 @@ class Runtime:
     # ------------------------------------------------------------------
 
     async def _drive(self) -> None:
-        loop = asyncio.get_event_loop()
+        """Top-level driver with crash isolation: an exception in one
+        iteration fails the affected requests and resets the slots
+        (reference behavior: errors reset the slot to Idle,
+        run.rs:649-656) instead of killing the loop."""
         while not self._stopped:
-            await self._admit()
-            active = [s for s in self.slots if s.phase != _SlotPhase.IDLE]
-            if not active:
-                self._wake.clear()
-                if self.pending:
-                    continue
-                try:
-                    await asyncio.wait_for(self._wake.wait(), timeout=1.0)
-                except asyncio.TimeoutError:
-                    pass
-                continue
+            try:
+                await self._drive_once()
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                import logging
 
-            # ---- fast path: every active slot decoding, no BNF ----
-            if (self.decode_chunk_size > 1
-                    and all(s.phase == _SlotPhase.DECODE for s in active)
-                    and all(s.ctx.formatter is None for s in active)):
-                await self._decode_chunk_step(loop, active)
-                continue
+                logging.getLogger(__name__).exception(
+                    "runtime step failed; resetting busy slots")
+                for s in self.slots:
+                    if s.ctx is not None:
+                        try:
+                            await self._finalize(s, FinishReason.ABORT)
+                        except Exception:
+                            s.phase = _SlotPhase.IDLE
+                            s.ctx = None
+                            s.resident_tokens = ()
 
-            # ---- build the merged step ----
-            B = self.max_batch
-            T = 1
-            for s in active:
-                if s.phase == _SlotPhase.PREFILL and (
-                        len(s.ctx.remaining) > 1):
-                    T = self.chunk
-                    break
-            tokens = np.zeros((B, T), np.int32)
-            lengths = np.zeros(B, np.int32)
-            sample_mask = np.zeros(B, np.bool_)
-            completing = []  # slots whose prefill finishes this step
-            for s in active:
-                ctx = s.ctx
-                if s.phase == _SlotPhase.PREFILL:
-                    n = min(len(ctx.remaining), T)
-                    tokens[s.index, :n] = ctx.remaining[:n]
-                    lengths[s.index] = n
-                    if n == len(ctx.remaining):
-                        completing.append(s)
-                        sample_mask[s.index] = (
-                            ctx.request.kind == GenerateKind.GENERATE)
-                else:  # DECODE
-                    tokens[s.index, 0] = ctx.all_tokens[-1]
-                    lengths[s.index] = 1
-                    sample_mask[s.index] = True
+    async def _drive_once(self) -> None:
+        loop = asyncio.get_event_loop()
+        await self._admit()
+        active = [s for s in self.slots if s.phase != _SlotPhase.IDLE]
+        if not active:
+            self._wake.clear()
+            if self.pending:
+                return
+            try:
+                await asyncio.wait_for(self._wake.wait(), timeout=1.0)
+            except asyncio.TimeoutError:
+                pass
+            return
 
-            # BNF masks are computed on CPU and uploaded before the step.
-            for s in active:
-                if s.ctx.formatter is not None and sample_mask[s.index]:
-                    self.engine.set_row_mask(
-                        s.index, s.ctx.formatter.allowed_mask())
+        # ---- fast path: every active slot decoding, no BNF ----
+        if (self.decode_chunk_size > 1
+                and all(s.phase == _SlotPhase.DECODE for s in active)
+                and all(s.ctx.formatter is None for s in active)):
+            await self._decode_chunk_step(loop, active)
+            return
 
-            want_logits = bool(completing)
-            t0 = time.monotonic()
-            result = await loop.run_in_executor(
-                None, self.engine.step, tokens, lengths, sample_mask,
-                want_logits)
-            self.metrics["steps"] += 1
-            self.metrics["step_seconds"] += time.monotonic() - t0
-            self.metrics["prefill_tokens"] += int(lengths.sum())
+        # ---- build the merged step ----
+        B = self.max_batch
+        T = 1
+        for s in active:
+            if s.phase == _SlotPhase.PREFILL and (
+                    len(s.ctx.remaining) > 1):
+                T = self.chunk
+                break
+        tokens = np.zeros((B, T), np.int32)
+        lengths = np.zeros(B, np.int32)
+        sample_mask = np.zeros(B, np.bool_)
+        completing = []  # slots whose prefill finishes this step
+        for s in active:
+            ctx = s.ctx
+            if s.phase == _SlotPhase.PREFILL:
+                n = min(len(ctx.remaining), T)
+                tokens[s.index, :n] = ctx.remaining[:n]
+                lengths[s.index] = n
+                if n == len(ctx.remaining):
+                    completing.append(s)
+                    sample_mask[s.index] = (
+                        ctx.request.kind == GenerateKind.GENERATE)
+            else:  # DECODE
+                tokens[s.index, 0] = ctx.all_tokens[-1]
+                lengths[s.index] = 1
+                sample_mask[s.index] = True
 
-            for s in completing:
-                if result.logits is not None:
-                    s.ctx.prefill_logits = result.logits[s.index].copy()
+        # BNF masks are computed on CPU and uploaded before the step.
+        for s in active:
+            if s.ctx.formatter is not None and sample_mask[s.index]:
+                self.engine.set_row_mask(
+                    s.index, s.ctx.formatter.allowed_mask())
 
-            # ---- distribute results ----
-            for s in list(active):
-                await self._advance(s, lengths, sample_mask, result)
+        want_logits = bool(completing)
+        t0 = time.monotonic()
+        result = await loop.run_in_executor(
+            None, self.engine.step, tokens, lengths, sample_mask,
+            want_logits)
+        self.metrics["steps"] += 1
+        self.metrics["step_seconds"] += time.monotonic() - t0
+        self.metrics["prefill_tokens"] += int(lengths.sum())
+
+        for s in completing:
+            if result.logits is not None:
+                s.ctx.prefill_logits = result.logits[s.index].copy()
+
+        # ---- distribute results ----
+        for s in list(active):
+            await self._advance(s, lengths, sample_mask, result)
 
     async def _decode_chunk_step(self, loop, active) -> None:
         """Decode ``decode_chunk_size`` tokens for all active rows in one

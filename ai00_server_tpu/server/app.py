@@ -754,10 +754,17 @@ def _usage(counter) -> dict:
 
 
 async def _collect_text(handle):
+    """Drain a generation to completion; cancel it if the client's HTTP
+    task is torn down (disconnect -> CancelledError), mirroring the
+    reference's is_disconnected() abort (run.rs:934-935)."""
     parts, reason, counter = [], FinishReason.NULL, None
-    async for msg in handle:
-        if msg[0] == "content":
-            parts.append(msg[1])
-        elif msg[0] == "stop":
-            reason, counter = msg[1], msg[2]
+    try:
+        async for msg in handle:
+            if msg[0] == "content":
+                parts.append(msg[1])
+            elif msg[0] == "stop":
+                reason, counter = msg[1], msg[2]
+    except asyncio.CancelledError:
+        handle.cancel()
+        raise
     return "".join(parts), reason, counter
