@@ -56,6 +56,9 @@ class ReloadRequest:
     tokenizer_path: str = DEFAULT_TOKENIZER
     bnf: dict = field(default_factory=dict)
     adapter: Any = "Auto"
+    # TPU-native addition: decode tokens per device dispatch (the
+    # on-device multi-token scan); 1 = per-token stepping.
+    decode_chunk_size: int = 8
 
     @classmethod
     def from_json(cls, obj: dict) -> "ReloadRequest":
@@ -78,6 +81,7 @@ class ReloadRequest:
             "tokenizer_path": self.tokenizer_path,
             "bnf": self.bnf,
             "adapter": self.adapter,
+            "decode_chunk_size": self.decode_chunk_size,
         }
 
 
@@ -194,7 +198,8 @@ class Middleware:
                 # The nil UUID addresses the model's own initial state.
                 state_map[str(uuid_mod.UUID(int=0))] = None
 
-            runtime = Runtime(engine, tokenizer, states=state_map)
+            runtime = Runtime(engine, tokenizer, states=state_map,
+                              decode_chunk_size=request.decode_chunk_size)
             runtime.start()
             self.env = Environment(
                 reload=request, model=model, engine=engine,

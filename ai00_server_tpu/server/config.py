@@ -162,6 +162,7 @@ class Config:
             tokenizer_path=tokenizer_path,
             bnf=self.bnf,
             adapter=self.adapter,
+            decode_chunk_size=int(m.get("decode_chunk_size", 8)),
         )
 
 

@@ -1,0 +1,110 @@
+"""Engine-level unit tests: row state management, decode-chunk equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai00_server_tpu.engine import Engine
+from ai00_server_tpu.loader import LoadedModel
+from ai00_server_tpu.models import ModelVersion
+from ai00_server_tpu.ops import sampling
+from ai00_server_tpu.testing import make_tiny_model
+
+
+@pytest.fixture(scope="module")
+def engine():
+    info, raw, params = make_tiny_model(ModelVersion.V7, seed=70,
+                                        dtype=np.float32, num_vocab=64)
+    model = LoadedModel(info=info, params=params, init_wkv=None)
+    return Engine(model, max_batch=4, token_chunk_size=8,
+                  state_dtype=jnp.float32), info
+
+
+def test_row_state_roundtrip(engine):
+    eng, info = engine
+    rng = np.random.default_rng(0)
+    row = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(
+            x.shape).astype(np.float32)),
+        eng.fresh_row_state())
+    eng.load_row_state(2, row)
+    back = eng.read_row_state(2)
+    for k in back:
+        np.testing.assert_allclose(np.asarray(back[k]),
+                                   np.asarray(row[k]), atol=1e-6)
+    # Other rows untouched (zeros).
+    other = eng.read_row_state(0)
+    assert float(np.abs(np.asarray(other["wkv"])).max()) == 0.0
+
+
+def test_decode_chunk_equals_stepwise(engine):
+    eng, info = engine
+    B = eng.max_batch
+    for b in range(B):
+        eng.load_row_state(b, None)
+        eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY,
+                                "presence": 0.0, "frequency": 0.0})
+        eng.set_row_bias(b, None)
+        eng.set_row_mask(b, None)
+
+    # Prefill a short prompt on every row.
+    tokens = np.tile(np.arange(1, 6, dtype=np.int32), (B, 1))
+    lengths = np.full(B, 5, np.int32)
+    mask = np.ones(B, np.bool_)
+    res = eng.step(tokens, lengths, mask)
+    first = res.tokens.copy()
+
+    # Path A: 6 single steps.
+    state_snapshot = [eng.read_row_state(b) for b in range(B)]
+    cur = first.reshape(B, 1)
+    ones = np.ones(B, np.int32)
+    seq_a = []
+    for _ in range(6):
+        r = eng.step(cur.astype(np.int32), ones, mask)
+        seq_a.append(r.tokens.copy())
+        cur = r.tokens.reshape(B, 1)
+
+    # Path B: one decode_chunk of 6 from the same snapshot.
+    for b in range(B):
+        eng.load_row_state(b, state_snapshot[b])
+        eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY,
+                                "presence": 0.0, "frequency": 0.0})
+    toks_seq, _ = eng.decode_chunk(first.astype(np.int32), mask, 6)
+
+    want = np.stack(seq_a)  # (6, B)
+    np.testing.assert_array_equal(toks_seq, want)
+
+
+def test_decode_chunk_inactive_rows_frozen(engine):
+    eng, info = engine
+    B = eng.max_batch
+    for b in range(B):
+        eng.load_row_state(b, None)
+        eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY})
+    before = eng.read_row_state(3)
+    active = np.array([True, True, True, False])
+    first = np.array([1, 2, 3, 9], np.int32)
+    eng.decode_chunk(first, active, 4)
+    after = eng.read_row_state(3)
+    for k in before:
+        np.testing.assert_allclose(np.asarray(after[k]),
+                                   np.asarray(before[k]), atol=0)
+
+
+def test_position_logps_does_not_advance(engine):
+    eng, info = engine
+    eng.load_row_state(0, None)
+    tokens = np.arange(1, 7, dtype=np.int32)[None]
+    eng.step(np.tile(tokens, (eng.max_batch, 1)).astype(np.int32),
+             np.full(eng.max_batch, 6, np.int32),
+             np.ones(eng.max_batch, np.bool_))
+    before = eng.read_row_state(0)
+    lp = eng.position_logps([1, 2, 3, 4], b=0)
+    assert lp.shape == (3,)
+    assert np.all(lp <= 0)
+    after = eng.read_row_state(0)
+    for k in before:
+        np.testing.assert_allclose(np.asarray(after[k]),
+                                   np.asarray(before[k]), atol=0)
