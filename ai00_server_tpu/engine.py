@@ -51,7 +51,14 @@ class Engine:
         max_batch: int = 8,
         token_chunk_size: int = 128,
         state_dtype=jnp.float32,
+        mesh=None,
     ):
+        """``mesh``: optional (dp, tp) jax.sharding.Mesh — multi-chip
+        serving.  Params are sharded TP over features/heads/vocab, the
+        state/sampler/bias/mask pools DP over the slot axis (parallel/
+        sharding.py); the compiled steps inherit the input shardings and
+        XLA places the ICI collectives.  ``max_batch`` must divide by the
+        dp axis."""
         self.model = model
         self.info = model.info
         self.module = get_version_module(model.info.version)
@@ -59,6 +66,7 @@ class Engine:
         self.token_chunk_size = int(token_chunk_size)
         self.state_dtype = state_dtype
         self.vocab = model.info.num_vocab
+        self.mesh = mesh
 
         B, V = self.max_batch, self.vocab
         self.state_pool = self.module.init_state(self.info, B, state_dtype)
@@ -66,6 +74,20 @@ class Engine:
         self.sampler_params_host = sampling.make_params(B)
         self.bias_pool = jnp.zeros((B, V), jnp.float32)
         self.mask_pool = jnp.ones((B, V), jnp.bool_)
+
+        if mesh is not None:
+            from .parallel import sharding as sh
+
+            model.params = sh.shard_params(model.params, mesh)
+            self.state_pool = sh.shard_state(self.state_pool, mesh)
+            self.sampler_state = sh.shard_sampler_state(
+                self.sampler_state, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.bias_pool = jax.device_put(
+                self.bias_pool, NamedSharding(mesh, P("dp", None)))
+            self.mask_pool = jax.device_put(
+                self.mask_pool, NamedSharding(mesh, P("dp", None)))
         self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._lock = threading.Lock()

@@ -1,0 +1,81 @@
+"""Full Engine + Runtime on a (dp, tp) CPU mesh: outputs match unsharded."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai00_server_tpu.engine import Engine
+from ai00_server_tpu.loader import LoadedModel
+from ai00_server_tpu.models import ModelVersion
+from ai00_server_tpu.parallel import make_mesh
+from ai00_server_tpu.runtime import GenerateRequest, Runtime, SamplerSpec
+from ai00_server_tpu.ops import sampling
+from ai00_server_tpu.testing import make_tiny_model
+from ai00_server_tpu.tokenizer import Tokenizer
+
+
+def test_sharded_engine_matches_unsharded():
+    assert len(jax.devices()) >= 8
+    info, raw, params = make_tiny_model(
+        ModelVersion.V7, seed=80, dtype=np.float32,
+        num_emb=256, head_size=64, num_vocab=512)
+
+    def run(mesh):
+        model = LoadedModel(
+            info=info, params=jax.tree.map(lambda x: x, params),
+            init_wkv=None)
+        eng = Engine(model, max_batch=8, token_chunk_size=8,
+                     state_dtype=jnp.float32, mesh=mesh)
+        for b in range(8):
+            eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY})
+        tokens = np.tile(np.arange(1, 9, dtype=np.int32), (8, 1))
+        lengths = np.full(8, 8, np.int32)
+        mask = np.ones(8, np.bool_)
+        res = eng.step(tokens, lengths, mask)
+        toks_seq, _ = eng.decode_chunk(res.tokens.astype(np.int32), mask, 4)
+        return res.tokens, toks_seq
+
+    t_ref, seq_ref = run(None)
+    mesh = make_mesh(dp=4, tp=2)
+    t_sh, seq_sh = run(mesh)
+    np.testing.assert_array_equal(t_sh, t_ref)
+    np.testing.assert_array_equal(seq_sh, seq_ref)
+
+
+def test_runtime_on_mesh():
+    """The whole serving runtime driving a sharded engine."""
+    info, raw, params = make_tiny_model(
+        ModelVersion.V7, seed=81, dtype=np.float32,
+        num_emb=256, head_size=64, num_vocab=64)
+    model = LoadedModel(info=info, params=params, init_wkv=None)
+    mesh = make_mesh(dp=4, tp=2)
+    eng = Engine(model, max_batch=4, token_chunk_size=8,
+                 state_dtype=jnp.float32, mesh=mesh)
+    vocab = {i: bytes([64 + i]) for i in range(1, 60)}
+    tok = Tokenizer(vocab)
+
+    async def main():
+        rt = Runtime(eng, tok)
+        rt.start()
+        req = GenerateRequest(
+            prompt="ABCAB", max_tokens=5,
+            sampler=SamplerSpec(kind=sampling.KIND_GREEDY))
+        handle = await rt.submit(req)
+        parts, counter = [], None
+        async for msg in handle:
+            if msg[0] == "content":
+                parts.append(msg[1])
+            elif msg[0] == "stop":
+                counter = msg[2]
+        await rt.stop()
+        return "".join(parts), counter
+
+    text, counter = asyncio.run(main())
+    # Padding tokens (ids beyond the defined vocab) decode to "", so the
+    # text length may fall short of the completion count.
+    assert counter.completion == 5
+    assert len(text) <= 5
