@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 
-def build_model(num_layer, num_emb, head_size, num_vocab, dtype):
+def build_model(num_layer, num_emb, head_size, num_vocab, dtype,
+                quant=None):
     """Random v7 weights at production shape, generated in f32 for speed."""
     import jax.numpy as jnp
 
@@ -33,7 +34,8 @@ def build_model(num_layer, num_emb, head_size, num_vocab, dtype):
     info = tiny_info(ModelVersion.V7, num_layer=num_layer, num_emb=num_emb,
                      head_size=head_size, num_vocab=num_vocab)
     raw = make_raw_weights(info, seed=0, dtype=np.float32)
-    params = stack_params(info, raw, dtype=dtype)
+    qmap = ({i: quant for i in range(num_layer)} if quant else None)
+    params = stack_params(info, raw, dtype=dtype, quant=qmap)
     return LoadedModel(info=info, params=params, init_wkv=None), info
 
 
@@ -105,9 +107,10 @@ def main():
     C = int(os.environ.get("BENCH_EMB", "1024"))
     V = int(os.environ.get("BENCH_VOCAB", "65536"))
     decode_steps = int(os.environ.get("BENCH_STEPS", "64"))
+    quant = os.environ.get("BENCH_QUANT") or None  # int8 | nf4 | sf4
 
     t0 = time.time()
-    model, info = build_model(L, C, 64, V, jnp.bfloat16)
+    model, info = build_model(L, C, 64, V, jnp.bfloat16, quant=quant)
     engine = Engine(model, max_batch=B, token_chunk_size=128,
                     state_dtype=jnp.float32)
     build_s = time.time() - t0
@@ -148,8 +151,9 @@ def main():
     step_ms = dt / steps_done * 1e3
 
     baseline = 11.6  # reference doc-example tok/s (see module docstring)
+    qtag = f"_{quant}" if quant else ""
     result = {
-        "metric": f"rwkv7_{n_params/1e6:.0f}M_decode_batch{B}",
+        "metric": f"rwkv7_{n_params/1e6:.0f}M{qtag}_decode_batch{B}",
         "value": round(decode_tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / baseline, 2),
