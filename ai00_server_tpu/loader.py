@@ -417,14 +417,20 @@ def stack_params(info: ModelInfo, math: dict[str, np.ndarray], dtype=None,
     offset = 0
     for size in group_sizes:
         chunk = layers[offset: offset + size]
-        stacked = jax.tree.map(
-            lambda *xs: jnp.asarray(np.stack(xs)).astype(dtype), *chunk
-        )
+        # Stack on the HOST; quantize before anything reaches the device —
+        # staging full-precision weights in HBM first OOMs large models.
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *chunk)
         mode = modes[offset]
         if mode != "none":
             from .ops import quant as quant_ops
 
             stacked = quant_ops.quantize_group(stacked, mode)
+        stacked = jax.tree.map(
+            lambda x: (jnp.asarray(x).astype(dtype)
+                       if isinstance(x, np.ndarray) else x),
+            stacked,
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
         groups.append({
             "layer_index": jnp.arange(offset, offset + size, dtype=jnp.int32),
             "layers": stacked,
