@@ -80,19 +80,24 @@ class QuantizedLinear:
         return w.reshape(self.q.shape[:-2] + self.shape).astype(dtype)
 
     def matmul(self, x):
-        """``x @ W`` with on-the-fly dequant (XLA fuses the conversion)."""
+        """``x @ W`` with on-the-fly dequant.
+
+        int8: contract each 128-row block against the int8 codes (the
+        int8->bf16 convert fuses into the dot's operand load) and apply
+        the per-(block, out) scales to the SMALL accumulator — never
+        materializing a dequantized copy of the weight.
+        """
         if self.mode == "int8":
             in_dim, out = self.shape
             nb = self.q.shape[-3]
             xb = x.reshape(x.shape[:-1] + (nb, INT8_BLOCK))
-            # (..., nb, B) @ (..., nb, B, out) summed over nb, B.
+            # (..., n, b) x (n, b, o) -> (..., n, o): per-block partials.
             acc = jnp.einsum(
-                "...nb,...nbo->...o",
-                xb.astype(jnp.float32),
-                (self.q.astype(jnp.float32) * self.scale),
+                "...nb,nbo->...no", xb, self.q.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
-            return acc.astype(x.dtype)
+            y = jnp.sum(acc * self.scale[..., 0, :], axis=-2)
+            return y.astype(x.dtype)
         w = self.dequant(x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 

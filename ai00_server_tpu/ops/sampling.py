@@ -27,7 +27,6 @@ serves heterogeneous requests (continuous batching).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

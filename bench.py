@@ -28,7 +28,7 @@ def build_model(num_layer, num_emb, head_size, num_vocab, dtype,
     import jax.numpy as jnp
 
     from ai00_server_tpu.loader import LoadedModel, stack_params
-    from ai00_server_tpu.models.info import ModelInfo, ModelVersion
+    from ai00_server_tpu.models.info import ModelVersion
     from ai00_server_tpu.testing import make_raw_weights, tiny_info
 
     info = tiny_info(ModelVersion.V7, num_layer=num_layer, num_emb=num_emb,
