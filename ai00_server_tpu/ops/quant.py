@@ -87,17 +87,23 @@ class QuantizedLinear:
         the per-(block, out) scales to the SMALL accumulator — never
         materializing a dequantized copy of the weight.
         """
-        if self.mode == "int8":
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if self.mode == "int8" and rows < 512:
+            # Decode shapes: per-block partials keep the weight in int8
+            # all the way to the MXU; scales hit the small accumulator.
             in_dim, out = self.shape
             nb = self.q.shape[-3]
             xb = x.reshape(x.shape[:-1] + (nb, INT8_BLOCK))
-            # (..., n, b) x (n, b, o) -> (..., n, o): per-block partials.
             acc = jnp.einsum(
                 "...nb,nbo->...no", xb, self.q.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
             y = jnp.sum(acc * self.scale[..., 0, :], axis=-2)
             return y.astype(x.dtype)
+        # Prefill shapes: one dequant pass + a single large matmul wins
+        # (splitting K into per-block matmuls starves the MXU at large M).
         w = self.dequant(x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
