@@ -17,16 +17,13 @@ from __future__ import annotations
 
 import asyncio
 import os
-import time
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-import numpy as np
 
 from .engine import Engine
 from .loader import LoadedModel, load_model
-from .models import ModelInfo
 from .models import packing
 from .runtime import Runtime
 from .tokenizer import Tokenizer
