@@ -748,6 +748,22 @@ class Runtime:
         await slot.ctx.handle.queue.put(("embed", state))
         await self._finalize(slot, FinishReason.STOP)
 
+    def _consumed_tokens(self, ctx: _ReqCtx) -> tuple[int, ...]:
+        """Tokens the engine state has actually consumed.
+
+        Every decode path leaves exactly ONE pending token: the freshly
+        sampled one is only fed on the next step.  Mid-prefill aborts have
+        consumed only a prompt prefix.  Cache keys and resident-token
+        records must use this, not ``all_tokens`` — an off-by-one key
+        would corrupt prefix-cache continuations.
+        """
+        if ctx.remaining:  # aborted mid-prefill
+            n = len(ctx.prompt_tokens) - len(ctx.remaining)
+            return ctx.prompt_tokens[:n]
+        if len(ctx.all_tokens) > len(ctx.prompt_tokens):
+            return tuple(ctx.all_tokens[:-1])  # last sample not yet fed
+        return tuple(ctx.all_tokens)
+
     async def _finalize(self, slot: _Slot, reason: FinishReason) -> None:
         ctx = slot.ctx
         b = slot.index
@@ -758,21 +774,23 @@ class Runtime:
             if not ctx.prefill_cached:
                 self.cache_for(ctx.state_id).remove(ctx.prompt_tokens)
 
-        # Back: cache the final state keyed by all consumed tokens
+        consumed = self._consumed_tokens(ctx)
+
+        # Back: cache the final state keyed by the consumed tokens
         # (run.rs:990-1005).
         if (ctx.request.kind == GenerateKind.GENERATE
                 and reason in (FinishReason.STOP, FinishReason.LENGTH)
-                and len(ctx.all_tokens) >= MIN_PROMPT_CACHE_TOKENS):
+                and len(consumed) >= MIN_PROMPT_CACHE_TOKENS):
             state = self.engine.read_row_state(b)
-            key = tuple(ctx.all_tokens)
             cache = self.cache_for(ctx.state_id)
-            cache.insert(key, CachedItem(state=state, logits=None, tokens=key))
+            cache.insert(consumed, CachedItem(
+                state=state, logits=None, tokens=consumed))
             cache.maintain()
 
         self.metrics["requests_finished"] += 1
         await ctx.handle.queue.put(("stop", reason, ctx.counter))
         await ctx.handle.queue.put(("done",))
-        slot.resident_tokens = tuple(ctx.all_tokens)
+        slot.resident_tokens = consumed
         slot.idle_since = time.monotonic()
         slot.phase = _SlotPhase.IDLE
         slot.ctx = None
