@@ -11,7 +11,9 @@ NF4 path.
 
 * Int8: symmetric per-(128-row block, output column) scaling,
   ``q = round(w / s)``, ``s = absmax / 127``.
-* NF4: 4-bit NormalFloat table (QLoRA), per-64-element block absmax.
+* NF4: 4-bit NormalFloat table (QLoRA), per-(64-input-row block, output
+  column) absmax — in-major blocking so the dequant sits inside the
+  matmul's K loop (the Pallas kernel in quant_pallas.py).
 * SF4: 4-bit with an exponent-biased table emphasizing small magnitudes.
 """
 
@@ -70,14 +72,18 @@ class QuantizedLinear:
             # q: (..., nb, B, out), scale: (..., nb, 1, out)
             w = self.q.astype(jnp.float32) * self.scale
             return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
+        # nf4/sf4: q (..., nb, NF4_BLOCK/2, out) packed along the in axis
+        # (in position 2i -> low nibble of byte i); scale (..., nb, 1, out).
         table = jnp.asarray(
             NF4_TABLE if self.mode == "nf4" else SF4_TABLE, jnp.float32)
         lo = (self.q & 0x0F).astype(jnp.int32)
         hi = (self.q >> 4).astype(jnp.int32)
-        codes = jnp.stack([lo, hi], axis=-1).reshape(
-            self.q.shape[:-1] + (self.q.shape[-1] * 2,))
-        w = table[codes] * self.scale[..., None]
-        return w.reshape(self.q.shape[:-2] + self.shape).astype(dtype)
+        half = self.q.shape[-2]
+        inter = jnp.stack([lo, hi], axis=-2)  # (..., nb, half, 2, out)
+        codes = inter.reshape(
+            self.q.shape[:-2] + (half * 2, self.q.shape[-1]))
+        w = table[codes] * self.scale
+        return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
 
     def matmul(self, x):
         """``x @ W`` with on-the-fly dequant.
@@ -102,6 +108,15 @@ class QuantizedLinear:
             )
             y = jnp.sum(acc * self.scale[..., 0, :], axis=-2)
             return y.astype(x.dtype)
+        if self.mode in ("nf4", "sf4") and \
+                jax.default_backend() in ("tpu", "axon") and \
+                self.q.ndim == 3:
+            # Pallas kernel streams PACKED bytes from HBM and decodes in
+            # VMEM inside the matmul's K loop (XLA's table-gather dequant
+            # is orders of magnitude slower on TPU).
+            from .quant_pallas import matmul_4bit
+
+            return matmul_4bit(x, self.q, self.scale, mode=self.mode)
         # Prefill shapes: one dequant pass + a single large matmul wins
         # (splitting K into per-block matmuls starves the MXU at large M).
         w = self.dequant(x.dtype)
@@ -123,21 +138,22 @@ def quantize_int8(w: np.ndarray) -> QuantizedLinear:
 
 def _quantize_4bit(w: np.ndarray, table: np.ndarray,
                    mode: str) -> QuantizedLinear:
+    """In-major blocking: absmax per (NF4_BLOCK input rows, out column);
+    two codes per byte packed along the in axis (2i -> low nibble)."""
     *lead, in_dim, out = w.shape
-    flat = np.asarray(w, np.float32).reshape(*lead, -1)
-    n = flat.shape[-1]
-    assert n % NF4_BLOCK == 0
-    blocks = flat.reshape(*lead, n // NF4_BLOCK, NF4_BLOCK)
-    absmax = np.abs(blocks).max(axis=-1, keepdims=True)
+    assert in_dim % NF4_BLOCK == 0
+    nb = in_dim // NF4_BLOCK
+    blocks = np.asarray(w, np.float32).reshape(*lead, nb, NF4_BLOCK, out)
+    absmax = np.abs(blocks).max(axis=-2, keepdims=True)  # (..., nb, 1, out)
     absmax = np.maximum(absmax, 1e-12)
     norm = blocks / absmax
     codes = np.abs(norm[..., None] - table).argmin(axis=-1).astype(np.uint8)
-    lo = codes[..., 0::2]
-    hi = codes[..., 1::2]
-    packed = (lo | (hi << 4)).astype(np.uint8)
+    lo = codes[..., 0::2, :]
+    hi = codes[..., 1::2, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)  # (..., nb, BLOCK/2, out)
     return QuantizedLinear(
         mode, jnp.asarray(packed),
-        jnp.asarray(absmax[..., 0].astype(np.float32)), (in_dim, out))
+        jnp.asarray(absmax.astype(np.float32)), (in_dim, out))
 
 
 def quantize_nf4(w: np.ndarray) -> QuantizedLinear:

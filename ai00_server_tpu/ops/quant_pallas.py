@@ -1,0 +1,110 @@
+"""Pallas NF4/SF4 dequant-in-matmul kernel (SURVEY.md hard part (c)).
+
+Decode is weight-bandwidth bound; 4-bit weights must stream from HBM as
+PACKED bytes, with the table lookup happening in VMEM inside the matmul's
+K loop — dequantizing in XLA materializes a full-precision copy first.
+
+Kernel shape: ``y (R, out) = x (R, in) @ W``, W stored as
+``codes (nb, BLOCK/2, out) uint8`` (two codes per byte along the in axis,
+``2i`` -> low nibble) + ``scale (nb, 1, out) f32`` — the in-major layout
+produced by ops.quant._quantize_4bit.  Grid over out tiles; per cell a
+``fori`` over the nb in-blocks: unpack nibbles, decode via a 16-way
+select-sum (TPU Pallas has no gather), one (R, BLOCK) @ (BLOCK, ot)
+matmul, scale the partial sum.
+
+Used for ALL row counts on TPU (grid tiles rows too) — XLA's gather-
+based dequant is orders of magnitude slower there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import NF4_BLOCK, NF4_TABLE, SF4_TABLE
+
+DEFAULT_OUT_TILE = 512
+ROW_TILE = 128
+
+
+def _kernel(nb, half, out_tile, table_vals, rt):
+    def kernel(x_ref, q_ref, s_ref, y_ref):
+        def block(n, acc):
+            # Widen BEFORE the bit ops: Mosaic has no uint8 shift.
+            packed = q_ref[n].astype(jnp.int32)  # (half, ot)
+            lo = packed & 0x0F
+            hi = (packed >> 4) & 0x0F
+
+            def decode(c):
+                w = jnp.zeros(c.shape, jnp.float32)
+                for k, v in enumerate(table_vals):
+                    w = jnp.where(c == k, jnp.float32(v), w)
+                return w
+
+            wlo = decode(lo)                     # in rows 0,2,4,... of block
+            whi = decode(hi)                     # in rows 1,3,5,...
+            # Interleave to (BLOCK, ot): row 2i = lo_i, row 2i+1 = hi_i.
+            w = jnp.stack([wlo, whi], axis=1).reshape(2 * half, wlo.shape[-1])
+            xb = x_ref[n]                        # (rt, BLOCK), leading index
+            part = jnp.dot(xb.astype(jnp.float32), w,
+                           preferred_element_type=jnp.float32)
+            return acc + part * s_ref[n]         # scale (1, ot) broadcasts
+
+        acc = jax.lax.fori_loop(
+            0, nb, block, jnp.zeros((rt, out_tile), jnp.float32))
+        y_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "out_tile", "interpret"))
+def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
+                interpret=False):
+    """x: (..., in) f32/bf16; q: (nb, BLOCK/2, out) uint8;
+    scale: (nb, 1, out) f32.  Returns (..., out) in x.dtype.
+
+    Grid = (row tiles, out tiles); the kernel re-decodes the weight tile
+    once per row tile — acceptable because decode happens in VMEM and the
+    packed bytes stream from HBM at 4 bits/element.
+    """
+    *lead, in_dim = x.shape
+    nb, half, out = q.shape
+    assert nb * 2 * half == in_dim, (q.shape, in_dim)
+    R = 1
+    for d in lead:
+        R *= d
+    rt = min(ROW_TILE, R)
+    Rp = -(-R // rt) * rt
+    # K-blocked layout (nb, R, BLOCK): the kernel indexes blocks on the
+    # LEADING dim (lane/sublane dims must stay statically aligned).
+    xr = jnp.moveaxis(x.reshape(R, nb, 2 * half), 1, 0)
+    if Rp != R:
+        xr = jnp.concatenate(
+            [xr, jnp.zeros((nb, Rp - R, 2 * half), xr.dtype)], axis=1)
+    ot = min(out_tile, out)
+    assert out % ot == 0, (out, ot)
+    table_vals = [float(v) for v in
+                  (NF4_TABLE if mode == "nf4" else SF4_TABLE)]
+
+    y = pl.pallas_call(
+        _kernel(nb, half, ot, tuple(table_vals), rt),
+        grid=(Rp // rt, out // ot),
+        in_specs=[
+            pl.BlockSpec((nb, rt, 2 * half), lambda r, o: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, half, ot), lambda r, o: (0, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, ot), lambda r, o: (0, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o: (r, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
+        interpret=interpret,
+    )(xr, q, scale)  # kernel upcasts per block; bf16 x halves VMEM
+    return y[:R].reshape(*lead, out).astype(x.dtype)
