@@ -147,7 +147,11 @@ def _quantize_4bit(w: np.ndarray, table: np.ndarray,
     absmax = np.abs(blocks).max(axis=-2, keepdims=True)  # (..., nb, 1, out)
     absmax = np.maximum(absmax, 1e-12)
     norm = blocks / absmax
-    codes = np.abs(norm[..., None] - table).argmin(axis=-1).astype(np.uint8)
+    # Nearest table value via searchsorted on midpoints (tables are
+    # sorted) — the |x - table| argmin creates a 16x intermediate, which
+    # is prohibitive for multi-billion-parameter groups.
+    mids = ((table[1:] + table[:-1]) / 2).astype(np.float32)
+    codes = np.searchsorted(mids, norm).astype(np.uint8)
     lo = codes[..., 0::2, :]
     hi = codes[..., 1::2, :]
     packed = (lo | (hi << 4)).astype(np.uint8)  # (..., nb, BLOCK/2, out)
