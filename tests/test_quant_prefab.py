@@ -56,22 +56,23 @@ def test_4bit_code_order():
     assert (np.diff(back[:, 0]) >= -1e-6).all()
 
 
-def test_quantized_model_forward():
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_quantized_model_forward(mode):
     info = tiny_info(ModelVersion.V7, num_layer=2, num_emb=128,
                      head_size=64, num_vocab=64)
     raw = make_raw_weights(info, seed=11)
     params_fp = make_params(info, raw, dtype=np.float32)
     params_q = make_params(info, raw, dtype=np.float32,
-                           quant={0: "int8", 1: "int8"})
+                           quant={0: mode, 1: mode})
     m = get_version_module(info.version)
     toks = jnp.asarray(np.arange(8, dtype=np.int32)[None])
     lens = jnp.array([8], jnp.int32)
     s = m.init_state(info, 1)
     h_fp, _ = jax.jit(m.forward)(params_fp, s, toks, lens)
     h_q, _ = jax.jit(m.forward)(params_q, s, toks, lens)
-    # int8 with per-block scales tracks fp32 closely on a tiny model.
     rel = float(jnp.abs(h_q - h_fp).max() / jnp.abs(h_fp).max())
-    assert rel < 0.1
+    # int8 tracks closely; 4-bit is coarser but must stay sane.
+    assert rel < (0.1 if mode == "int8" else 0.5)
 
 
 def test_prefab_roundtrip(tmp_path):
