@@ -29,10 +29,15 @@ from .quant import NF4_BLOCK, NF4_TABLE, SF4_TABLE
 
 DEFAULT_OUT_TILE = 512
 ROW_TILE = 128
+K_TILE_BLOCKS = 32  # in-blocks (of NF4_BLOCK rows) per grid step
 
 
-def _kernel(nb, half, out_tile, table_vals, rt):
+def _kernel(nb_tile, half, out_tile, table_vals, rt):
     def kernel(x_ref, q_ref, s_ref, y_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
         def block(n, acc):
             # Widen BEFORE the bit ops: Mosaic has no uint8 shift.
             packed = q_ref[n].astype(jnp.int32)  # (half, ot)
@@ -55,8 +60,8 @@ def _kernel(nb, half, out_tile, table_vals, rt):
             return acc + part * s_ref[n]         # scale (1, ot) broadcasts
 
         acc = jax.lax.fori_loop(
-            0, nb, block, jnp.zeros((rt, out_tile), jnp.float32))
-        y_ref[:] = acc
+            0, nb_tile, block, jnp.zeros((rt, out_tile), jnp.float32))
+        y_ref[:] += acc
 
     return kernel
 
@@ -88,21 +93,25 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
             [xr, jnp.zeros((nb, Rp - R, 2 * half), xr.dtype)], axis=1)
     ot = min(out_tile, out)
     assert out % ot == 0, (out, ot)
+    kt = min(K_TILE_BLOCKS, nb)
+    assert nb % kt == 0, (nb, kt)
     table_vals = [float(v) for v in
                   (NF4_TABLE if mode == "nf4" else SF4_TABLE)]
 
+    # Grid (rows, out, K): K innermost so the revisited output block stays
+    # resident in VMEM while the kernel accumulates across K tiles.
     y = pl.pallas_call(
-        _kernel(nb, half, ot, tuple(table_vals), rt),
-        grid=(Rp // rt, out // ot),
+        _kernel(kt, half, ot, tuple(table_vals), rt),
+        grid=(Rp // rt, out // ot, nb // kt),
         in_specs=[
-            pl.BlockSpec((nb, rt, 2 * half), lambda r, o: (0, r, 0),
+            pl.BlockSpec((kt, rt, 2 * half), lambda r, o, k: (k, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, half, ot), lambda r, o: (0, 0, o),
+            pl.BlockSpec((kt, half, ot), lambda r, o, k: (k, 0, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, ot), lambda r, o: (0, 0, o),
+            pl.BlockSpec((kt, 1, ot), lambda r, o, k: (k, 0, o),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, ot), lambda r, o: (r, o),
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o, k: (r, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
         interpret=interpret,
