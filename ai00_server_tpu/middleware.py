@@ -196,7 +196,9 @@ class Middleware:
                 state_map[str(uuid_mod.UUID(int=0))] = None
 
             runtime = Runtime(engine, tokenizer, states=state_map,
-                              decode_chunk_size=request.decode_chunk_size)
+                              decode_chunk_size=request.decode_chunk_size,
+                              bnf_option=request.bnf
+                              if isinstance(request.bnf, dict) else None)
             runtime.start()
             self.env = Environment(
                 reload=request, model=model, engine=engine,

@@ -312,7 +312,8 @@ class Runtime:
 
     def __init__(self, engine: Engine, tokenizer: Tokenizer,
                  states: dict[str, Any] | None = None,
-                 decode_chunk_size: int = 8):
+                 decode_chunk_size: int = 8,
+                 bnf_option: dict | None = None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.max_batch = engine.max_batch
@@ -321,6 +322,8 @@ class Runtime:
         # steady-state decode (no BNF): one lax.scan on device instead of
         # K host round-trips.  1 = per-token stepping.
         self.decode_chunk_size = max(1, int(decode_chunk_size))
+        # BnfOption (reload.rs:80-86): start nonterminal for schemas.
+        self.bnf_option = bnf_option or {}
         self.slots = [_Slot(i) for i in range(self.max_batch)]
         # init-state registry: id -> host batch-1 state pytree (None = fresh)
         self.states: dict[str, Any] = {"default": None}
@@ -376,7 +379,9 @@ class Runtime:
             from .bnf import BnfFormatter
 
             ctx.formatter = BnfFormatter(
-                request.bnf_schema, self.tokenizer, self.engine.vocab)
+                request.bnf_schema, self.tokenizer, self.engine.vocab,
+                start_nonterminal=self.bnf_option.get(
+                    "start_nonterminal", "start"))
         self.pending.append(ctx)
         self._wake.set()
         return handle
