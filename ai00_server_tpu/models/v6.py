@@ -60,8 +60,11 @@ def _att(p, att_x, wkv, x, lengths):
         jnp.dot(xxx, p["mix_w1"].astype(x.dtype), preferred_element_type=acc)
     ).astype(x.dtype)
     h = h.reshape(B, T, 5, D)
-    # (B,T,5,D) @ (5,D,C) -> (B,T,5,C)
-    m = jnp.einsum("btfd,fdc->btfc", h, p["mix_w2"].astype(x.dtype),
+    # (B,T,5,D) @ (5,D,C) -> (B,T,5,C).  f32 operands: the CPU backend
+    # cannot execute this general-dot shape as bf16 x bf16 -> f32, and the
+    # rank is tiny so the upcast is free.
+    m = jnp.einsum("btfd,fdc->btfc", h.astype(acc),
+                   p["mix_w2"].astype(acc),
                    preferred_element_type=acc).astype(x.dtype)
     mw, mk, mv, mr, mg = [m[:, :, i] for i in range(5)]
 
