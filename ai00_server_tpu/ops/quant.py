@@ -96,7 +96,10 @@ class QuantizedLinear:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if self.mode == "int8" and rows < 512:
+        if self.mode == "int8" and rows < 512 and \
+                jax.default_backend() in ("tpu", "axon"):
+            # TPU only: the CPU backend cannot execute the per-block
+            # general dot as bf16 x bf16 -> f32 (DotThunk limitation).
             # Decode shapes: per-block partials keep the weight in int8
             # all the way to the MXU; scales hit the small accumulator.
             in_dim, out = self.shape

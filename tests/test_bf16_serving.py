@@ -21,11 +21,15 @@ from test_loader import to_converted_layout  # noqa: E402
 
 
 @pytest.mark.parametrize(
-    "version", [ModelVersion.V4, ModelVersion.V5, ModelVersion.V6,
-                ModelVersion.V7], ids=lambda v: v.value)
-def test_bf16_generation(tmp_path, version):
+    "version,quant,quant_type",
+    [(ModelVersion.V4, 0, "Int8"), (ModelVersion.V5, 0, "Int8"),
+     (ModelVersion.V6, 0, "Int8"), (ModelVersion.V7, 0, "Int8"),
+     (ModelVersion.V7, 3, "Int8"), (ModelVersion.V7, 3, "NF4")],
+    ids=["V4", "V5", "V6", "V7", "V7-int8", "V7-nf4"])
+def test_bf16_generation(tmp_path, version, quant, quant_type):
+    kw = ({"num_emb": 128, "head_size": 64} if quant else {})
     info, raw, _ = make_tiny_model(version, seed=110, dtype=np.float32,
-                                   num_vocab=64)
+                                   num_vocab=64, **kw)
     path = str(tmp_path / "m.st")
     loader.save_safetensors(to_converted_layout(raw), path,
                             dtype=np.float32)
@@ -37,7 +41,8 @@ def test_bf16_generation(tmp_path, version):
         mw = Middleware()
         await mw.reload(ReloadRequest(
             model_path=path, tokenizer_path=vocab_path,
-            precision="Fp16", max_batch=2, token_chunk_size=8))
+            precision="Fp16", max_batch=2, token_chunk_size=8,
+            quant=quant, quant_type=quant_type))
         handle = await mw.env.runtime.submit(GenerateRequest(
             prompt="ABCAB", max_tokens=4,
             sampler=SamplerSpec(kind=sampling.KIND_GREEDY)))
