@@ -13,6 +13,7 @@ import hashlib
 import os
 import subprocess
 import threading
+import weakref
 
 import numpy as np
 
@@ -87,7 +88,10 @@ def _as_ptr(arr: np.ndarray, ctype):
 class NativeTrie:
     """CSR form of a Tokenizer's byte trie, owned by the native lib."""
 
-    _cache: dict[int, "NativeTrie"] = {}
+    # Weak-keyed so an entry dies with its tokenizer: a plain id()-keyed
+    # dict can hand back a stale trie after CPython reuses the id of a
+    # GC'd tokenizer (e.g. across admin model reloads).
+    _cache: "weakref.WeakKeyDictionary" = None  # created lazily below
 
     def __init__(self, tokenizer):
         lib = get_lib()
@@ -117,10 +121,11 @@ class NativeTrie:
 
     @classmethod
     def for_tokenizer(cls, tokenizer) -> "NativeTrie":
-        key = id(tokenizer)
-        t = cls._cache.get(key)
+        if cls._cache is None:
+            cls._cache = weakref.WeakKeyDictionary()
+        t = cls._cache.get(tokenizer)
         if t is None:
-            t = cls._cache[key] = cls(tokenizer)
+            t = cls._cache[tokenizer] = cls(tokenizer)
         return t
 
     def __del__(self):

@@ -67,10 +67,16 @@ class SamplerSpec:
     miro_rate: float = 0.1
 
     def row_params(self) -> dict:
+        # top_k <= 0 means "no top-k truncation" (the reference honors
+        # arbitrary top_k over the full vocab); the on-device sampler sorts
+        # only the top TOP_K_CAP logits, so "unbounded" and any k > CAP
+        # clamp there.  The cap is documented at the API layer.
+        top_k = (sampling.TOP_K_CAP if self.top_k <= 0
+                 else min(self.top_k, sampling.TOP_K_CAP))
         return {
             "kind": self.kind,
             "top_p": self.top_p,
-            "top_k": min(self.top_k, sampling.TOP_K_CAP) or sampling.TOP_K_CAP,
+            "top_k": top_k,
             "temperature": self.temperature,
             "presence": self.presence_penalty,
             "frequency": self.frequency_penalty,
@@ -305,6 +311,9 @@ class _ReqCtx:
     prefill_cached: bool = False
     prefill_logits: np.ndarray | None = None
     finish: FinishReason = FinishReason.NULL
+    # Deadline for deferring admission on an in-flight prefix-cache future
+    # (0 = not deferring yet).
+    defer_deadline: float = 0.0
 
 
 class Runtime:
@@ -545,7 +554,13 @@ class Runtime:
             if slot is None:
                 remaining.append(ctx)
                 continue
-            await self._install(slot, ctx)
+            installed = await self._install(slot, ctx)
+            if not installed:
+                # Deferred on an in-flight prefix-cache future: the prefill
+                # resolving it runs in THIS loop, so never await here — just
+                # re-check next iteration (the reference gets this for free
+                # from per-slot tokio tasks).
+                remaining.append(ctx)
         self.pending = remaining
 
     def _choose_slot(self, ctx: _ReqCtx) -> Optional[_Slot]:
@@ -569,8 +584,14 @@ class Runtime:
                 oldest = s
         return best_cont or empty or oldest
 
-    async def _install(self, slot: _Slot, ctx: _ReqCtx) -> None:
-        """Checkout the longest cached prefix and configure the engine row."""
+    async def _install(self, slot: _Slot, ctx: _ReqCtx) -> bool:
+        """Checkout the longest cached prefix and configure the engine row.
+
+        Returns False (without touching the slot) when admission should be
+        deferred: the best cached prefix is an in-flight future owned by a
+        prefill that this same drive loop must execute — awaiting it here
+        would deadlock the whole runtime.
+        """
         eng = self.engine
         b = slot.index
         exact_item: CachedItem | None = None
@@ -586,11 +607,18 @@ class Runtime:
             cache = self.cache_for(ctx.state_id)
             plen, item = cache.longest_prefix(ctx.prompt_tokens)
             if isinstance(item, asyncio.Future):
-                try:
-                    item = await asyncio.wait_for(
-                        asyncio.shield(item), timeout=60.0)
-                except Exception:
-                    item = None
+                if item.done():
+                    try:
+                        item = item.result()
+                    except Exception:
+                        item = None
+                else:
+                    now = time.monotonic()
+                    if ctx.defer_deadline == 0.0:
+                        ctx.defer_deadline = now + 60.0
+                    if now < ctx.defer_deadline:
+                        return False  # re-admit next drive iteration
+                    item = None  # gave up waiting: treat as cache miss
             if isinstance(item, CachedItem):
                 item.instant = time.monotonic()
                 if plen == len(ctx.prompt_tokens) and item.logits is not None:
@@ -658,6 +686,7 @@ class Runtime:
                 slot.phase = _SlotPhase.PREFILL
         else:
             slot.phase = _SlotPhase.PREFILL
+        return True
 
     async def _advance(self, slot: _Slot, lengths, sample_mask,
                        result) -> None:
@@ -666,13 +695,25 @@ class Runtime:
             return
         b = slot.index
 
+        # Account for what the engine consumed THIS step before any abort
+        # check: on disconnect the row state has still advanced by the fed
+        # chunk/token, and resident_tokens/cache keys must reflect that —
+        # otherwise a retried identical prompt takes the continue-in-place
+        # path and double-feeds tokens.
+        if slot.phase == _SlotPhase.PREFILL:
+            fed = int(lengths[b])
+            del ctx.remaining[:fed]
+        elif sample_mask[b] and ctx.handle.aborted:
+            # Decode row: the previous sample (all_tokens[-1]) was fed this
+            # step; the fresh sample was NOT.  Appending it keeps
+            # _consumed_tokens' all_tokens[:-1] invariant exact.
+            ctx.all_tokens.append(int(result.tokens[b]))
+
         if ctx.handle.aborted:
             await self._finalize(slot, FinishReason.ABORT)
             return
 
         if slot.phase == _SlotPhase.PREFILL:
-            fed = int(lengths[b])
-            del ctx.remaining[:fed]
             if ctx.remaining:
                 return  # still prefilling
             # Prefill done: cache the prompt state (run.rs:789-804).

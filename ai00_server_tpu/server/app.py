@@ -64,10 +64,14 @@ def _sampler_from_json(obj: dict | None, top_p=0.5, top_k=128,
                            top_k=top_k, temperature=temperature)
     typ = str(obj.get("type", "Nucleus")).lower()
     if typ == "mirostat":
+        # Reference MirostatSampler::transform is a no-op (mirostat.rs):
+        # no presence/frequency penalties for this sampler kind.
         return SamplerSpec(
             kind=sampling.KIND_MIROSTAT,
             miro_tau=float(obj.get("tau", 3.0)),
             miro_rate=float(obj.get("rate", obj.get("learning_rate", 0.1))),
+            presence_penalty=0.0,
+            frequency_penalty=0.0,
         )
     common = dict(
         top_k=int(obj.get("top_k", 128)),

@@ -274,3 +274,128 @@ def test_bnf_constrained_generation(stack):
     text, reason = run_async(main())
     assert text in ("HI", "BYE")
     assert reason == FinishReason.STOP
+
+
+def test_inflight_dedup_no_deadlock(stack):
+    """Two concurrent requests sharing a >=32-token prompt must both finish
+    promptly: the second defers on the first's in-flight cache future
+    instead of awaiting it inside the drive loop (which would block the
+    prefill that resolves the future — ADVICE r1 high #1)."""
+    info, model, tok = stack
+    prompt = "ABCABCABCABCABCABCABCABCABCABCABCABC"  # 36 tokens >= 32
+
+    async def main():
+        rt = make_runtime(model, tok)
+        rt.start()
+        req1 = GenerateRequest(prompt=prompt, max_tokens=4,
+                               sampler=greedy_spec())
+        req2 = GenerateRequest(prompt=prompt, max_tokens=4,
+                               sampler=greedy_spec())
+        h1 = await rt.submit(req1)
+        h2 = await rt.submit(req2)
+        (t1, r1, *_), (t2, r2, *_) = await asyncio.wait_for(
+            asyncio.gather(collect(h1), collect(h2)), timeout=30.0)
+        await rt.stop()
+        return t1, t2, r1, r2
+
+    t1, t2, r1, r2 = run_async(main())
+    assert r1 == FinishReason.LENGTH and r2 == FinishReason.LENGTH
+    assert t1 == t2  # greedy: the dedup'd replay must match
+
+
+def test_abort_mid_decode_keeps_state_keys_honest(stack):
+    """Client-disconnect abort must account for the token fed in the abort
+    step; a retried identical prompt must not double-feed through the
+    continue-in-place path (ADVICE r1 high #2)."""
+    info, model, tok = stack
+    prompt = "ABCAB"
+
+    async def gen_fresh():
+        rt = make_runtime(model, tok)
+        rt.start()
+        text, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=6, sampler=greedy_spec())))
+        await rt.stop()
+        return text
+
+    async def gen_after_abort():
+        # decode_chunk_size=1 exercises the per-token _advance abort path.
+        eng = Engine(model, max_batch=4, token_chunk_size=8,
+                     state_dtype=jnp.float32)
+        rt = Runtime(eng, tok, decode_chunk_size=1)
+        rt.start()
+        h = await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=20, sampler=greedy_spec()))
+        # Abort after the first emitted token: mid-decode for sure.
+        async for msg in h:
+            if msg[0] == "content":
+                h.cancel()
+            if msg[0] == "done":
+                break
+        # Retry the same prompt on the same runtime (may continue-in-place).
+        text, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=6, sampler=greedy_spec())))
+        await rt.stop()
+        return text
+
+    fresh = run_async(gen_fresh())
+    retried = run_async(gen_after_abort())
+    assert retried == fresh
+
+
+def test_mirostat_sampler_has_no_penalties():
+    """Reference MirostatSampler::transform is a no-op: no presence or
+    frequency penalties (ADVICE r1 medium)."""
+    from ai00_server_tpu.server.app import _sampler_from_json
+
+    spec = _sampler_from_json({"type": "Mirostat", "tau": 4.0})
+    assert spec.presence_penalty == 0.0
+    assert spec.frequency_penalty == 0.0
+    assert spec.miro_tau == 4.0
+
+
+def test_top_k_zero_means_uncapped():
+    spec = SamplerSpec(top_k=0)
+    assert spec.row_params()["top_k"] == sampling.TOP_K_CAP
+    spec = SamplerSpec(top_k=10**9)
+    assert spec.row_params()["top_k"] == sampling.TOP_K_CAP
+    spec = SamplerSpec(top_k=7)
+    assert spec.row_params()["top_k"] == 7
+
+
+def test_abort_mid_prefill_accounts_fed_chunk(stack):
+    """Deterministic mid-prefill abort: the chunk fed in the abort step is
+    part of the consumed record, so a retried identical prompt resuming
+    via continue-in-place does not double-feed it (ADVICE r1 high #2)."""
+    info, model, tok = stack
+    prompt = "ABC" * 8  # 24 tokens = 3 chunks of 8
+
+    async def gen_fresh():
+        rt = make_runtime(model, tok)
+        rt.start()
+        text, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=6, sampler=greedy_spec())))
+        await rt.stop()
+        return text
+
+    async def gen_after_abort():
+        rt = make_runtime(model, tok)
+        h = await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=6, sampler=greedy_spec()))
+        # Drive manually: one chunk per iteration.
+        await rt._drive_once()   # admit + feed chunk 1
+        h.cancel()
+        await rt._drive_once()   # feeds chunk 2, then notices the abort
+        _, reason, *_ = await collect(h)
+        assert reason == FinishReason.ABORT
+        # The slot's resident record must cover BOTH fed chunks.
+        resident = [s.resident_tokens for s in rt.slots if s.resident_tokens]
+        assert resident and len(resident[0]) == 16
+        # Retry the identical prompt (continue-in-place from 16 tokens).
+        rt.start()
+        text, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=6, sampler=greedy_spec())))
+        await rt.stop()
+        return text
+
+    assert run_async(gen_after_abort()) == run_async(gen_fresh())
