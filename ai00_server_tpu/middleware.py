@@ -56,6 +56,11 @@ class ReloadRequest:
     # TPU-native addition: decode tokens per device dispatch (the
     # on-device multi-token scan); 1 = per-token stepping.
     decode_chunk_size: int = 8
+    # TPU-native addition: multi-chip serving mesh [dp, tp] (SURVEY §2.9).
+    # dp shards the slot/batch axis, tp shards heads/features/vocab.
+    # [1, 1] / None = single chip.  dp must divide max_batch; dp*tp must
+    # not exceed the device count.
+    mesh: Optional[list] = None
 
     @classmethod
     def from_json(cls, obj: dict) -> "ReloadRequest":
@@ -79,6 +84,7 @@ class ReloadRequest:
             "bnf": self.bnf,
             "adapter": self.adapter,
             "decode_chunk_size": self.decode_chunk_size,
+            "mesh": self.mesh,
         }
 
 
@@ -124,6 +130,13 @@ class Middleware:
                 for s in self.env.states
             ],
             "tokenizer": self.env.reload.tokenizer_path,
+            # Actual serving mesh (None = single chip): TPU-native addition.
+            "mesh": (
+                {"dp": self.env.engine.mesh.shape["dp"],
+                 "tp": self.env.engine.mesh.shape["tp"],
+                 "devices": self.env.engine.mesh.devices.size}
+                if self.env.engine.mesh is not None else None
+            ),
         }
 
     async def reload(self, request: ReloadRequest) -> None:
@@ -157,9 +170,31 @@ class Middleware:
             # Manual(idx), lib.rs:351-368): pin params to a device.
             import jax
 
+            # Multi-chip serving mesh (SURVEY §2.9): dp over slots, tp over
+            # heads/features/vocab.  Built before adapter pinning — a mesh
+            # supersedes Manual single-device selection.
+            mesh = None
+            if request.mesh:
+                dp, tp = (list(request.mesh) + [1, 1])[:2]
+                dp, tp = int(dp), int(tp)
+                if dp * tp > 1:
+                    from .parallel import sharding as sh
+
+                    devs = jax.devices()
+                    if dp * tp > len(devs):
+                        raise ValueError(
+                            f"mesh [{dp}, {tp}] needs {dp * tp} devices, "
+                            f"have {len(devs)}")
+                    if request.max_batch % dp != 0:
+                        raise ValueError(
+                            f"max_batch {request.max_batch} not divisible "
+                            f"by dp={dp}")
+                    mesh = sh.make_mesh(dp=dp, tp=tp, devices=devs[:dp * tp])
+
             device = None
             adapter = request.adapter
-            if isinstance(adapter, dict) and "Manual" in adapter:
+            if mesh is None and isinstance(adapter, dict) \
+                    and "Manual" in adapter:
                 idx = int(adapter["Manual"])
                 devs = jax.devices()
                 if 0 <= idx < len(devs):
@@ -171,6 +206,7 @@ class Middleware:
                 model,
                 max_batch=request.max_batch,
                 token_chunk_size=request.token_chunk_size,
+                mesh=mesh,
             )
 
             # Init states from .state files (lib.rs:413-444).
