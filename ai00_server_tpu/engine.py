@@ -95,6 +95,8 @@ class Engine:
         # T-bucketed compiled step fns.
         self._steps: dict[int, callable] = {}
         self._decode_scans: dict[int, callable] = {}
+        # Pre-chunk state snapshot for mid-chunk stop rollback.
+        self._chunk_snapshot = None
         # Device copy of sampler params, re-uploaded only when rows change.
         self._sparams_device = None
 
@@ -314,19 +316,43 @@ class Engine:
         dispatch (a ``lax.scan`` feeding each sampled token back in).
 
         Inactive rows keep their state/sampler state frozen.  Returns
-        (tokens (steps, B), probs (steps, B)).  The caller handles EOS /
-        stop-words post-hoc and rolls back over-decoded rows via
-        snapshot + re-prefill (runtime._rollback_row).
+        (tokens (steps, B), probs (steps, B)).  Before the scan the state
+        pool is snapshotted on device (one HBM copy, small next to the
+        weight reads of ``steps`` forwards); when the caller detects a
+        mid-chunk stop it calls :meth:`rollback_row` to restore the row
+        and re-feed exactly the accepted tokens.
         """
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             fn = self._get_decode_scan(steps, self._sampler_key())
+            if steps > 1:
+                self._chunk_snapshot = jax.tree.map(jnp.copy, self.state_pool)
             toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 jnp.asarray(first_tokens, jnp.int32),
                 jnp.asarray(active, jnp.bool_),
                 self._sparams(), self.bias_pool, self.mask_pool, sub)
             return np.asarray(toks_seq), np.asarray(sp_seq)
+
+    def rollback_row(self, b: int, feed_tokens: list[int]) -> None:
+        """Undo a row's over-decoded chunk suffix: restore row ``b`` from
+        the pre-chunk snapshot, then re-feed ``feed_tokens`` (the accepted
+        tokens) with a forward-only masked step.  Device-to-device only —
+        the snapshot never leaves HBM."""
+        assert self._chunk_snapshot is not None, "no chunk snapshot"
+        with self._lock:
+            row = self._read_row(self._chunk_snapshot, jnp.int32(b))
+            self.state_pool = self._write_row(
+                self.state_pool, row, jnp.int32(b))
+        B, T = self.max_batch, self.token_chunk_size
+        no_sample = np.zeros(B, np.bool_)
+        for i in range(0, len(feed_tokens), T):
+            part = feed_tokens[i: i + T]
+            toks = np.zeros((B, T), np.int32)
+            toks[b, : len(part)] = part
+            lengths = np.zeros(B, np.int32)
+            lengths[b] = len(part)
+            self.step(toks, lengths, no_sample, False)
 
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast

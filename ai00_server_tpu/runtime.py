@@ -527,19 +527,29 @@ class Runtime:
         for s in active:
             ctx = s.ctx
             b = s.index
-            # All K tokens are consumed by the device state, so they all
-            # join all_tokens up front — the cache/resident key must match
-            # the state even when a stop condition lands mid-chunk.
             row = [int(t) for t in toks_seq[:, b]]
-            ctx.all_tokens.extend(row)
             if ctx.handle.aborted:
+                # All K tokens were consumed by the device state; record
+                # them so cache/resident keys stay honest (no rollback for
+                # a gone client).
+                ctx.all_tokens.extend(row)
                 await self._finalize(s, FinishReason.ABORT)
                 continue
-            done = False
-            for token in row:
-                if not done:
-                    done = await self._accept_token(s, token,
-                                                    consumed=True)
+            for j, token in enumerate(row):
+                reason = await self._postprocess_token(s, token)
+                if reason is None:
+                    continue
+                if j < K - 1:
+                    # Mid-chunk stop: the scan consumed row[:K-1] but the
+                    # request accepted only row[:j].  Restore the row from
+                    # the pre-chunk snapshot and re-feed the accepted
+                    # tokens so the resident state contains exactly the
+                    # emitted tokens (ref per-token semantics).
+                    feed = ctx.all_tokens[-(j + 2):-1]
+                    await loop.run_in_executor(
+                        None, self.engine.rollback_row, b, feed)
+                await self._finalize(s, reason)
+                break
 
     async def _admit(self) -> None:
         """Assign pending requests to free slots (Continue > Empty > Back)."""
@@ -762,16 +772,16 @@ class Runtime:
         token = int(result.tokens[b])
         await self._accept_token(slot, token)
 
-    async def _accept_token(self, slot: _Slot, token: int,
-                            consumed: bool = False) -> bool:
-        """Post-process one sampled token for a decoding slot.
+    async def _postprocess_token(self, slot: _Slot,
+                                 token: int) -> FinishReason | None:
+        """Append + stream one sampled token; detect stop conditions.
 
-        ``consumed``: the token is already appended to ``all_tokens`` (the
-        chunked-decode path).  Returns True when the slot finished.
+        Returns the finish reason (without finalizing — the chunked-decode
+        path must roll back over-consumed state BEFORE the finalize reads
+        it) or None to keep decoding.
         """
         ctx = slot.ctx
-        if not consumed:
-            ctx.all_tokens.append(token)
+        ctx.all_tokens.append(token)
         ctx.counter.completion += 1
 
         halted = (ctx.formatter.accept(token)
@@ -779,23 +789,28 @@ class Runtime:
 
         if token == END_OF_TEXT:
             await self._emit_bytes(ctx, b"", final=True)
-            await self._finalize(slot, FinishReason.STOP)
-            return True
+            return FinishReason.STOP
 
         data = self.tokenizer.token_to_bytes(token)
         stopped = await self._emit_bytes(ctx, data)
         if stopped:
-            await self._finalize(slot, FinishReason.STOP)
-            return True
+            return FinishReason.STOP
         if halted:
             await self._emit_bytes(ctx, b"", final=True)
-            await self._finalize(slot, FinishReason.STOP)
-            return True
+            return FinishReason.STOP
         if ctx.counter.completion >= ctx.request.max_tokens:
             await self._emit_bytes(ctx, b"", final=True)
-            await self._finalize(slot, FinishReason.LENGTH)
-            return True
+            return FinishReason.LENGTH
         slot.phase = _SlotPhase.DECODE
+        return None
+
+    async def _accept_token(self, slot: _Slot, token: int) -> bool:
+        """Post-process one sampled token; finalize on a stop condition.
+        Returns True when the slot finished."""
+        reason = await self._postprocess_token(slot, token)
+        if reason is not None:
+            await self._finalize(slot, reason)
+            return True
         return False
 
     async def _emit_bytes(self, ctx: _ReqCtx, data: bytes,
