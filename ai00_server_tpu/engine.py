@@ -354,6 +354,25 @@ class Engine:
             lengths[b] = len(part)
             self.step(toks, lengths, no_sample, False)
 
+    def prewarm(self, decode_chunk_size: int = 8) -> None:
+        """Compile the serving-step buckets with no-op inputs (all lengths
+        zero, nothing sampled): (T=1, T=chunk) x want_logits plus the
+        K-token decode scan.  Safe to run in the background concurrently
+        with real traffic — a zero-length step never mutates row state,
+        sampler state, or pools, so interleaving is harmless; real calls
+        just wait on the engine lock per step.
+
+        With the persistent compile cache enabled this also seeds the
+        on-disk cache, so a process restart pays tracing only.
+        """
+        B, T = self.max_batch, self.token_chunk_size
+        zl = np.zeros(B, np.int32)
+        zm = np.zeros(B, np.bool_)
+        for t, want_logits in ((T, True), (T, False), (1, False), (1, True)):
+            self.step(np.zeros((B, t), np.int32), zl, zm, want_logits)
+        if decode_chunk_size > 1:
+            self.decode_chunk(np.zeros(B, np.int32), zm, decode_chunk_size)
+
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast
         path: a fully-cached prompt supplies its stored prompt-end logits

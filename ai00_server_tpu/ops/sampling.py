@@ -61,7 +61,11 @@ def make_params(batch: int) -> dict:
     scheduler as requests come and go, uploaded once per step)."""
     d = DEFAULTS
     return {
-        "kind": np.full(batch, KIND_GREEDY, np.int32),
+        # Default kind = nucleus (the API default sampler): a pool whose
+        # unconfigured rows already match the dominant request kind keeps
+        # the step's kind-specialized compile key stable from the first
+        # request on, so load-time prewarm hits.
+        "kind": np.full(batch, KIND_NUCLEUS, np.int32),
         "top_p": np.full(batch, d["top_p"], np.float32),
         "top_k": np.full(batch, d["top_k"], np.int32),
         "temperature": np.full(batch, d["temperature"], np.float32),

@@ -449,17 +449,31 @@ class Runtime:
                 pass
             return
 
-        # ---- fast path: every active slot decoding, no BNF ----
-        if (self.decode_chunk_size > 1
-                and all(s.phase == _SlotPhase.DECODE for s in active)
-                and all(s.ctx.formatter is None for s in active)):
-            await self._decode_chunk_step(loop, active)
+        # ---- two-phase step (SURVEY §7 hard parts (b)/(d)) ----
+        # Clean steady-state decode rows advance K tokens in ONE on-device
+        # scan; BNF rows (per-token host masks) and prefill rows take the
+        # merged step.  One grammar request or a mid-flight prefill no
+        # longer drops every other stream to per-token host round-trips.
+        if self.decode_chunk_size > 1:
+            chunkable = [s for s in active
+                         if s.phase == _SlotPhase.DECODE
+                         and s.ctx.formatter is None]
+        else:
+            chunkable = []
+        rest = [s for s in active if s not in chunkable]
+        if chunkable:
+            await self._decode_chunk_step(loop, chunkable)
+            if rest:
+                await self._merged_step(loop, rest)
             return
+        await self._merged_step(loop, active)
 
-        # ---- build the merged step ----
+    async def _merged_step(self, loop, rows) -> None:
+        """One fixed-shape merged step over ``rows`` (prefill chunks +
+        per-token decode); other rows ride along with length 0."""
         B = self.max_batch
         T = 1
-        for s in active:
+        for s in rows:
             if s.phase == _SlotPhase.PREFILL and (
                     len(s.ctx.remaining) > 1):
                 T = self.chunk
@@ -468,7 +482,7 @@ class Runtime:
         lengths = np.zeros(B, np.int32)
         sample_mask = np.zeros(B, np.bool_)
         completing = []  # slots whose prefill finishes this step
-        for s in active:
+        for s in rows:
             ctx = s.ctx
             if s.phase == _SlotPhase.PREFILL:
                 n = min(len(ctx.remaining), T)
@@ -484,7 +498,7 @@ class Runtime:
                 sample_mask[s.index] = True
 
         # BNF masks are computed on CPU and uploaded before the step.
-        for s in active:
+        for s in rows:
             if s.ctx.formatter is not None and sample_mask[s.index]:
                 self.engine.set_row_mask(
                     s.index, s.ctx.formatter.allowed_mask())
@@ -503,7 +517,7 @@ class Runtime:
                 s.ctx.prefill_logits = result.logits[s.index].copy()
 
         # ---- distribute results ----
-        for s in list(active):
+        for s in list(rows):
             await self._advance(s, lengths, sample_mask, result)
 
     async def _decode_chunk_step(self, loop, active) -> None:

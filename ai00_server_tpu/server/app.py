@@ -101,6 +101,21 @@ async def cors_middleware(request: web.Request, handler):
     return resp
 
 
+@web.middleware
+async def bad_request_middleware(request: web.Request, handler):
+    """Reject malformed request bodies with 400, like salvo's extractors
+    (the reference returns 400 on schema/JSON parse failures; an aiohttp
+    handler would otherwise surface them as a 500 traceback)."""
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except (json.JSONDecodeError, UnicodeDecodeError, KeyError, TypeError,
+            ValueError) as e:
+        return web.json_response(
+            {"error": f"bad request: {type(e).__name__}: {e}"}, status=400)
+
+
 class Server:
     def __init__(self, config: Config):
         self.config = config
@@ -108,8 +123,10 @@ class Server:
         from ..retrieval_store import RetrievalStore
 
         self.retrieval = RetrievalStore()
+        self.embedder = None  # optional [embed] sidecar (server/embed.py)
         self.app = web.Application(client_max_size=1 << 30,
-                                   middlewares=[cors_middleware])
+                                   middlewares=[cors_middleware,
+                                                bad_request_middleware])
         self._routes()
 
     # -- helpers -----------------------------------------------------------
@@ -172,9 +189,10 @@ class Server:
             r.add_post(p, self.chooses)
         for p in ("/api/oai/states", "/api/oai/v1/states"):
             r.add_post(p, self.states)
-        for p in ("/api/oai/embeddings", "/api/oai/v1/embeddings",
-                  "/api/oai/embeds", "/api/oai/v1/embeds"):
+        for p in ("/api/oai/embeddings", "/api/oai/v1/embeddings"):
             r.add_post(p, self.embeddings)
+        for p in ("/api/oai/embeds", "/api/oai/v1/embeds"):
+            r.add_post(p, self.embeds)
         for p in ("/api/oai/models", "/api/oai/v1/models"):
             r.add_get(p, self.oai_models)
         r.add_get("/api/adapters", self.adapters)
@@ -502,6 +520,36 @@ class Server:
             "usage": {"prompt_tokens": 0, "total_tokens": 0},
         })
 
+    async def embeds(self, request: web.Request):
+        """External embedding sidecar endpoint (reference embed.rs:52-100):
+        chunk the input by token budget, embed each chunk.  Requires the
+        `[embed]` model (400 otherwise, like the reference)."""
+        body = await request.json()
+        if self.embedder is None:
+            return web.json_response(
+                {"error": "no [embed] model configured"}, status=400)
+        text = str(body.get("input") or "")
+        if not text:
+            return web.json_response({"error": "empty input"}, status=400)
+        max_tokens = int(body.get("max_tokens", 510))
+        prefix = str(body.get("prefix", "query:"))
+        emb = self.embedder
+        loop = asyncio.get_event_loop()
+
+        def work():
+            chunks = emb.split_chunks(text, max_tokens)
+            out = []
+            for chunk in chunks:
+                vec = emb.embed([prefix + chunk])
+                out.append({"chunk": chunk, "embed": vec.tolist()})
+            return out
+
+        chunk_data = await loop.run_in_executor(None, work)
+        return web.json_response({
+            "object": "embeds", "model": emb.name,
+            "data": [{"object": "embed", "index": 0, "chunks": chunk_data}],
+        })
+
     # -- retrieval (RAG) ------------------------------------------------------
 
     async def retrieval_index(self, request: web.Request):
@@ -613,13 +661,15 @@ class Server:
         })
         await resp.prepare(request)
         try:
-            for _ in range(3600):
+            # Stream until the client disconnects (model.rs:50-81 streams
+            # unbounded; a write to a closed transport raises).
+            while True:
                 info = self.middleware.info()
                 payload = json.dumps(
                     {"state": "loaded", **info} if info else {"state": "none"})
                 await resp.write(f"data: {payload}\n\n".encode())
                 await asyncio.sleep(1.0)
-        except (ConnectionResetError, asyncio.CancelledError):
+        except (ConnectionResetError, asyncio.CancelledError, OSError):
             pass
         return resp
 

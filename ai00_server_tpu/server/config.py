@@ -165,6 +165,7 @@ class Config:
             decode_chunk_size=int(m.get("decode_chunk_size", 8)),
             # [model] mesh = [dp, tp]: multi-chip serving (TPU-native).
             mesh=[int(x) for x in m["mesh"]] if m.get("mesh") else None,
+            prewarm=bool(m.get("prewarm", True)),
         )
 
 
