@@ -97,20 +97,16 @@ class QuantizedLinear:
         for d in x.shape[:-1]:
             rows *= d
         if self.mode == "int8" and rows < 512 and \
-                jax.default_backend() in ("tpu", "axon"):
-            # TPU only: the CPU backend cannot execute the per-block
-            # general dot as bf16 x bf16 -> f32 (DotThunk limitation).
-            # Decode shapes: per-block partials keep the weight in int8
-            # all the way to the MXU; scales hit the small accumulator.
-            in_dim, out = self.shape
-            nb = self.q.shape[-3]
-            xb = x.reshape(x.shape[:-1] + (nb, INT8_BLOCK))
-            acc = jnp.einsum(
-                "...nb,nbo->...no", xb, self.q.astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            y = jnp.sum(acc * self.scale[..., 0, :], axis=-2)
-            return y.astype(x.dtype)
+                jax.default_backend() in ("tpu", "axon") and \
+                self.q.ndim == 3:
+            # Decode shapes: the Pallas kernel streams the int8 codes from
+            # HBM (1 byte/element) and converts in VMEM — the XLA einsum
+            # alternative materializes a bf16 copy of the weight in HBM
+            # every step (3x the traffic at 7B: ~23 ms vs the ~4.5 ms
+            # int8-bandwidth floor).
+            from .quant_pallas import matmul_int8
+
+            return matmul_int8(x, self.q, self.scale)
         if self.mode in ("nf4", "sf4") and \
                 jax.default_backend() in ("tpu", "axon") and \
                 self.q.ndim == 3:

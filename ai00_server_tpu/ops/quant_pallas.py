@@ -66,6 +66,74 @@ def _kernel(nb_tile, half, out_tile, table_vals, rt):
     return kernel
 
 
+def _int8_kernel(nb_tile, out_tile, rt):
+    def kernel(x_ref, q_ref, s_ref, y_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        def block(n, acc):
+            # int8 -> bf16 happens HERE in VMEM: the codes stream from HBM
+            # at 1 byte/element.  (XLA's einsum path materializes a bf16
+            # copy of the whole weight in HBM every step: 3x the traffic.)
+            w = q_ref[n].astype(jnp.bfloat16)        # (BLOCK, ot)
+            xb = x_ref[n]                            # (rt, BLOCK)
+            part = jnp.dot(xb.astype(jnp.bfloat16), w,
+                           preferred_element_type=jnp.float32)
+            return acc + part * s_ref[n]             # scale (1, ot)
+
+        acc = jax.lax.fori_loop(
+            0, nb_tile, block, jnp.zeros((rt, out_tile), jnp.float32))
+        y_ref[:] += acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False):
+    """Fused int8 dequant-matmul: ``y = x @ (q * scale)``.
+
+    x: (..., in) f32/bf16; q: (nb, BLOCK, out) int8 (in-major blocks,
+    ops.quant.quantize_int8 layout); scale: (nb, 1, out) f32.  The weight
+    crosses HBM exactly once, as int8 — decode throughput is then
+    int8-weight-bandwidth bound instead of bf16-copy bound.
+    """
+    *lead, in_dim = x.shape
+    nb, blk, out = q.shape
+    assert nb * blk == in_dim, (q.shape, in_dim)
+    R = 1
+    for d in lead:
+        R *= d
+    rt = min(ROW_TILE, R)
+    Rp = -(-R // rt) * rt
+    xr = jnp.moveaxis(x.reshape(R, nb, blk), 1, 0)  # (nb, R, BLOCK)
+    if Rp != R:
+        xr = jnp.concatenate(
+            [xr, jnp.zeros((nb, Rp - R, blk), xr.dtype)], axis=1)
+    ot = min(out_tile, out)
+    assert out % ot == 0, (out, ot)
+    kt = min(K_TILE_BLOCKS, nb)
+    assert nb % kt == 0, (nb, kt)
+
+    y = pl.pallas_call(
+        _int8_kernel(kt, ot, rt),
+        grid=(Rp // rt, out // ot, nb // kt),
+        in_specs=[
+            pl.BlockSpec((kt, rt, blk), lambda r, o, k: (k, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, blk, ot), lambda r, o, k: (k, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, ot), lambda r, o, k: (k, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o, k: (r, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
+        interpret=interpret,
+    )(xr, q, scale)
+    return y[:R].reshape(*lead, out).astype(x.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mode", "out_tile", "interpret"))
 def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,

@@ -36,3 +36,33 @@ def test_matmul_4bit_3d_input():
     assert got.shape == (2, 3, 128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(128, 256), (512, 512)])
+def test_matmul_int8_matches_dequant(shape):
+    from ai00_server_tpu.ops.quant_pallas import matmul_int8
+
+    rng = np.random.default_rng(2)
+    in_dim, out = shape
+    w = rng.standard_normal((in_dim, out)).astype(np.float32) * 0.1
+    q = quant.quantize_int8(w)
+    x = jnp.asarray(rng.standard_normal((4, in_dim)).astype(np.float32))
+
+    want = x @ q.dequant()
+    got = matmul_int8(x, q.q, q.scale, out_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_matmul_int8_3d_input():
+    from ai00_server_tpu.ops.quant_pallas import matmul_int8
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+    q = quant.quantize_int8(w)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    want = x @ q.dequant()
+    got = matmul_int8(x, q.q, q.scale, out_tile=128, interpret=True)
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)

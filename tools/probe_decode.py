@@ -1,6 +1,13 @@
-"""Decompose decode-step time on the real device: forward vs head matmul
-vs sampling vs full engine scan.  Run: python tools/probe_decode.py
-(env: PROBE_LAYERS/EMB/VOCAB/BATCH/K)."""
+"""Decompose decode-step time on the real device with TRUE synchronization.
+
+block_until_ready does NOT wait for execution through the axon tunnel
+(calibration showed impossible 26 PFLOP/s) — only a device->host transfer
+of the freshly produced output synchronizes.  Every measurement here runs
+n dependent iterations and transfers one scalar of the last output; the
+tunnel RTT is measured separately and subtracted.
+
+Run: python tools/probe_decode.py  (env: PROBE_LAYERS/EMB/VOCAB/BATCH/K)
+"""
 
 import os
 import sys
@@ -10,20 +17,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+RTT_MS = None
 
-def timed(fn, *args, n=20, **kw):
+
+def _sync(out):
     import jax
 
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
+def timed(fn, *args, n=30):
+    """Per-call ms, RTT-corrected, true transfer sync."""
+    out = fn(*args)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+        out = fn(*args)
+    _sync(out)
+    total = (time.perf_counter() - t0) * 1e3
+    return max(0.0, (total - RTT_MS)) / n
 
 
 def main():
+    global RTT_MS
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +54,6 @@ def main():
         pass
 
     from bench import build_model
-    from ai00_server_tpu.engine import Engine
     from ai00_server_tpu.models import v7
     from ai00_server_tpu.ops import sampling
 
@@ -45,8 +61,18 @@ def main():
     L = int(os.environ.get("PROBE_LAYERS", "24"))
     C = int(os.environ.get("PROBE_EMB", "1024"))
     V = int(os.environ.get("PROBE_VOCAB", "65536"))
-    K = int(os.environ.get("PROBE_K", "16"))
     quant = os.environ.get("PROBE_QUANT") or None
+
+    # RTT baseline: trivial op + scalar transfer.
+    tiny = jnp.zeros((8,), jnp.float32)
+    f0 = jax.jit(lambda x: x + 1.0)
+    _sync(f0(tiny))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        _sync(f0(tiny))
+    RTT_MS = (time.perf_counter() - t0) / reps * 1e3
+    print(f"sync RTT:               {RTT_MS:.1f} ms")
 
     t0 = time.time()
     model, info = build_model(L, C, 64, V, jnp.bfloat16, quant=quant)
@@ -57,8 +83,7 @@ def main():
     lengths = jnp.ones((B,), jnp.int32)
 
     fwd = jax.jit(lambda p, s, t, l: v7.forward(p, s, t, l))
-    ms_fwd = timed(fwd, model.params, state, tokens, lengths)
-    print(f"forward T=1 (no head): {ms_fwd:.3f} ms")
+    print(f"forward T=1:            {timed(fwd, model.params, state, tokens, lengths):.3f} ms")
 
     def fwd_head(p, s, t, l):
         hidden, ns = v7.forward(p, s, t, l)
@@ -66,12 +91,8 @@ def main():
                          preferred_element_type=jnp.float32)
         return logits, ns
 
-    fwd_head_j = jax.jit(fwd_head)
-    ms_fwd_head = timed(fwd_head_j, model.params, state, tokens, lengths)
-    print(f"forward+head T=1:      {ms_fwd_head:.3f} ms "
-          f"(head ~{ms_fwd_head - ms_fwd:.3f})")
+    print(f"forward+head T=1:       {timed(jax.jit(fwd_head), model.params, state, tokens, lengths):.3f} ms")
 
-    # Sampling alone on random logits (nucleus defaults, k_cap=128).
     ss = sampling.init_sampler_state(B, V)
     sparams = {k: jnp.asarray(v) for k, v in sampling.make_params(B).items()}
     logits = jnp.asarray(
@@ -83,26 +104,46 @@ def main():
             rand, logits, sparams, ss,
             kinds=(sampling.KIND_NUCLEUS,), k_cap=128)
 
-    sample_j = jax.jit(sample)
-    ms_sample = timed(sample_j, jax.random.PRNGKey(0), logits, ss)
-    print(f"sampling (nucleus,128): {ms_sample:.3f} ms")
+    print(f"sampling (nucleus,128): {timed(jax.jit(sample), jax.random.PRNGKey(0), logits, ss):.3f} ms")
 
-    # Full engine decode scan (the production path).
-    engine = Engine(model, max_batch=B, token_chunk_size=128,
-                    state_dtype=jnp.float32)
-    for b in range(B):
-        engine.set_row_sampler(b, {"kind": 0})
-    first = np.zeros(B, np.int32)
-    active = np.ones(B, np.bool_)
-    engine.decode_chunk(first, active, K)  # compile
-    t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        engine.decode_chunk(first, active, K)
-    ms_scan = (time.perf_counter() - t0) / (n * K) * 1e3
-    print(f"engine scan per-token:  {ms_scan:.3f} ms (K={K})")
-    print(f"sum of parts:           "
-          f"{ms_fwd_head + ms_sample:.3f} ms")
+    # Raw scans: forward-only vs forward+sampling, K tokens per dispatch.
+    for with_sampling in (False, True):
+        for Ksteps in (16, 64):
+            def scan_fn(params, state, ss, first, rng, _K=Ksteps,
+                        _ws=with_sampling):
+                def body(carry, rng_t):
+                    state, ss, toks = carry
+                    hidden, state = v7.forward(
+                        params, state, toks[:, None],
+                        jnp.ones((B,), jnp.int32))
+                    logits = jnp.dot(
+                        hidden[:, 0], params["head"].astype(hidden.dtype),
+                        preferred_element_type=jnp.float32)
+                    if _ws:
+                        rand = jax.random.uniform(rng_t, (B,), jnp.float32)
+                        t2, sp, ss2 = sampling.sample_with_rand(
+                            rand, logits, sparams, ss,
+                            kinds=(sampling.KIND_NUCLEUS,), k_cap=128)
+                    else:
+                        t2, ss2 = jnp.argmax(
+                            logits, -1).astype(jnp.int32), ss
+                    return (state, ss2, t2), t2
+
+                rngs = jax.random.split(rng, _K)
+                (state, ss, _), toks = jax.lax.scan(
+                    body, (state, ss, first), rngs)
+                return toks
+
+            fn = jax.jit(scan_fn)
+            first = jnp.zeros(B, jnp.int32)
+            ms = timed(fn, model.params, state, ss, first,
+                       jax.random.PRNGKey(0), n=8)
+            tag = "fwd+sample" if with_sampling else "fwd-only  "
+            print(f"scan {tag} K={Ksteps:3d}:  {ms / Ksteps:.3f} ms/token")
+
+    # State snapshot copy (chunk rollback support).
+    cp = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    print(f"state snapshot copy:    {timed(cp, state):.3f} ms")
 
 
 if __name__ == "__main__":
