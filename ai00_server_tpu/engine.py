@@ -75,6 +75,19 @@ class Engine:
         self.bias_pool = jnp.zeros((B, V), jnp.float32)
         self.mask_pool = jnp.ones((B, V), jnp.bool_)
 
+        if mesh is None and model.info.version.value == "V7":
+            # Install the head-major fused decode layout (one extra HBM
+            # copy of the layer weights) when the whole-network T=1
+            # kernel is eligible — see ops/v7_decode_pallas.py.
+            from .ops import v7_decode_pallas as fd
+            from .ops import wkv as wkv_dispatch
+
+            if (wkv_dispatch.fused_decode_mode() != "off"
+                    and fd.FUSED_KEY not in model.params
+                    and fd.can_fuse(model.params)):
+                model.params[fd.FUSED_KEY] = fd.make_fused_layout(
+                    model.params)
+
         if mesh is not None:
             from .parallel import sharding as sh
 
@@ -332,7 +345,10 @@ class Engine:
                 jnp.asarray(first_tokens, jnp.int32),
                 jnp.asarray(active, jnp.bool_),
                 self._sparams(), self.bias_pool, self.mask_pool, sub)
-            return np.asarray(toks_seq), np.asarray(sp_seq)
+            # Only the tokens cross to the host; the probs stay on device
+            # (the chunk path never reads them, and the transfer is on the
+            # critical path of every decode dispatch).
+            return np.asarray(toks_seq), sp_seq
 
     def rollback_row(self, b: int, feed_tokens: list[int]) -> None:
         """Undo a row's over-decoded chunk suffix: restore row ``b`` from

@@ -188,6 +188,18 @@ def forward(params, state, tokens, lengths):
     tokens: (B, T) int32; lengths: (B,) — number of valid tokens per row
     (suffix padding).  Returns (hidden (B, T, C) post-ln_out, new_state).
     """
+    if tokens.shape[1] == 1:
+        # T=1 decode: the fused whole-network Pallas kernel collapses
+        # ~50 XLA ops/layer into one op with double-buffered weight DMA
+        # (ops/v7_decode_pallas.py).  The engine installs the fused
+        # weight layout at load when eligible.
+        from ..ops import wkv as wkv_dispatch
+        from ..ops import v7_decode_pallas as fd
+
+        mode = wkv_dispatch.fused_decode_mode()
+        if mode != "off" and fd.supports(params):
+            return fd.forward_t1(params, state, tokens, lengths,
+                                 interpret=(mode == "interpret"))
     x = params["emb"][tokens]  # ln0 folded into emb at load
     B, T, C = x.shape
     v_first = jnp.zeros_like(x)

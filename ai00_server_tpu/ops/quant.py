@@ -190,8 +190,3 @@ def quantize_group(stacked: dict, mode: str) -> dict:
     maybe(out["att"], _QUANT_KEYS_ATT)
     maybe(out["ffn"], _QUANT_KEYS_FFN)
     return out
-
-
-def interleave_codes_check():
-    """The 4-bit packing interleaves (even, odd) element pairs; dequant
-    restores original order — verified in tests."""

@@ -52,3 +52,13 @@ def use_pallas(T: int) -> bool:
 
 def interpret_mode() -> bool:
     return os.environ.get("AI00_WKV_IMPL") == "pallas_interpret"
+
+
+def fused_decode_mode() -> str:
+    """'on' | 'off' | 'interpret' for the fused whole-network T=1 kernel
+    (ops/v7_decode_pallas.py).  Default: off (opt in with
+    AI00_FUSED_DECODE=on once validated on the target chip)."""
+    mode = os.environ.get("AI00_FUSED_DECODE", "off")
+    if mode in ("on", "off", "interpret"):
+        return mode
+    return "off"

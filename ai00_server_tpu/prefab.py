@@ -77,7 +77,11 @@ def save_prefab(path: str, model: LoadedModel, config: dict | None = None
     from safetensors.numpy import save_file
 
     tensors: dict = {}
-    skeleton = _to_skeleton(model.params, tensors, "")
+    # Derived decode-layout caches (keys starting with "_") are rebuilt at
+    # load; never serialize them.
+    params = {k: v for k, v in model.params.items()
+              if not k.startswith("_")}
+    skeleton = _to_skeleton(params, tensors, "")
     if model.init_wkv is not None:
         skeleton_init = _to_skeleton(model.init_wkv, tensors, "/init")
     else:
