@@ -56,9 +56,10 @@ def interpret_mode() -> bool:
 
 def fused_decode_mode() -> str:
     """'on' | 'off' | 'interpret' for the fused whole-network T=1 kernel
-    (ops/v7_decode_pallas.py).  Default: off (opt in with
-    AI00_FUSED_DECODE=on once validated on the target chip)."""
-    mode = os.environ.get("AI00_FUSED_DECODE", "off")
+    (ops/v7_decode_pallas.py).  Default: on for TPU (measured 1.7x the
+    unfused T=1 step at 438M bf16), off elsewhere.  Override with
+    AI00_FUSED_DECODE=on|off|interpret."""
+    mode = os.environ.get("AI00_FUSED_DECODE", "auto")
     if mode in ("on", "off", "interpret"):
         return mode
-    return "off"
+    return "on" if _on_tpu() else "off"
