@@ -41,6 +41,31 @@ SF4_TABLE = np.array([
     0.015625, 0.03125, 0.0625, 0.125, 0.25, 0.5, 0.75, 1.0,
 ], np.float32)
 
+# Integer decode tables: 4-bit weights reconstruct as round(table * 127)
+# int8 values (exact in bf16) with the /127 folded into the stored block
+# scale.  TPU Pallas has no gather, so the kernel materializes the lookup
+# from four packed-int32 constants with a 2-level select tree + variable
+# byte shift (quant_pallas._kernel) — ~3x fewer VPU ops than a 16-way
+# compare/select chain.  dequant() uses the SAME effective table so the
+# XLA and Pallas paths agree exactly; the level shift vs the real table
+# is <= 0.4% of blockmax (far below the 4-bit quantization step).
+NF4_TABLE8 = np.round(NF4_TABLE * 127.0).astype(np.int32)
+SF4_TABLE8 = np.round(SF4_TABLE * 127.0).astype(np.int32)
+
+
+def pack_table8(table8: np.ndarray) -> tuple:
+    """Pack 16 int8 decode levels into 4 int32s (biased +128, little-endian
+    bytes), wrapped to signed int32 range for jnp constants."""
+    packs = []
+    for j in range(4):
+        p = 0
+        for m in range(4):
+            p |= (int(table8[4 * j + m]) + 128) << (8 * m)
+        if p >= 1 << 31:
+            p -= 1 << 32
+        packs.append(p)
+    return tuple(packs)
+
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedLinear:
@@ -72,16 +97,14 @@ class QuantizedLinear:
             # q: (..., nb, B, out), scale: (..., nb, 1, out)
             w = self.q.astype(jnp.float32) * self.scale
             return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
-        # nf4/sf4: q (..., nb, NF4_BLOCK/2, out) packed along the in axis
-        # (in position 2i -> low nibble of byte i); scale (..., nb, 1, out).
+        # nf4/sf4: q (..., nb, NF4_BLOCK/2, out) packed SPLIT-HALF along
+        # the in axis (byte i: low nibble -> block row i, high nibble ->
+        # block row half+i); scale (..., nb, 1, out) = absmax/127.
         table = jnp.asarray(
-            NF4_TABLE if self.mode == "nf4" else SF4_TABLE, jnp.float32)
+            NF4_TABLE8 if self.mode == "nf4" else SF4_TABLE8, jnp.float32)
         lo = (self.q & 0x0F).astype(jnp.int32)
         hi = (self.q >> 4).astype(jnp.int32)
-        half = self.q.shape[-2]
-        inter = jnp.stack([lo, hi], axis=-2)  # (..., nb, half, 2, out)
-        codes = inter.reshape(
-            self.q.shape[:-2] + (half * 2, self.q.shape[-1]))
+        codes = jnp.concatenate([lo, hi], axis=-2)  # (..., nb, BLOCK, out)
         w = table[codes] * self.scale
         return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
 
@@ -135,13 +158,18 @@ def quantize_int8(w: np.ndarray) -> QuantizedLinear:
                            jnp.asarray(s.astype(np.float32)), (in_dim, out))
 
 
-def _quantize_4bit(w: np.ndarray, table: np.ndarray,
+def _quantize_4bit(w: np.ndarray, table8: np.ndarray,
                    mode: str) -> QuantizedLinear:
     """In-major blocking: absmax per (NF4_BLOCK input rows, out column);
-    two codes per byte packed along the in axis (2i -> low nibble)."""
+    two codes per byte packed SPLIT-HALF along the in axis (byte i: low
+    nibble -> block row i, high nibble -> block row half+i) so the kernel
+    needs no sublane interleave — the two decoded halves feed two K=32
+    matmuls directly.  Stored scale = absmax/127 (decode levels are the
+    integer table)."""
     *lead, in_dim, out = w.shape
     assert in_dim % NF4_BLOCK == 0
     nb = in_dim // NF4_BLOCK
+    half = NF4_BLOCK // 2
     blocks = np.asarray(w, np.float32).reshape(*lead, nb, NF4_BLOCK, out)
     absmax = np.abs(blocks).max(axis=-2, keepdims=True)  # (..., nb, 1, out)
     absmax = np.maximum(absmax, 1e-12)
@@ -149,22 +177,23 @@ def _quantize_4bit(w: np.ndarray, table: np.ndarray,
     # Nearest table value via searchsorted on midpoints (tables are
     # sorted) — the |x - table| argmin creates a 16x intermediate, which
     # is prohibitive for multi-billion-parameter groups.
-    mids = ((table[1:] + table[:-1]) / 2).astype(np.float32)
+    eff = table8.astype(np.float32) / 127.0
+    mids = ((eff[1:] + eff[:-1]) / 2).astype(np.float32)
     codes = np.searchsorted(mids, norm).astype(np.uint8)
-    lo = codes[..., 0::2, :]
-    hi = codes[..., 1::2, :]
+    lo = codes[..., :half, :]
+    hi = codes[..., half:, :]
     packed = (lo | (hi << 4)).astype(np.uint8)  # (..., nb, BLOCK/2, out)
     return QuantizedLinear(
         mode, jnp.asarray(packed),
-        jnp.asarray(absmax.astype(np.float32)), (in_dim, out))
+        jnp.asarray((absmax / 127.0).astype(np.float32)), (in_dim, out))
 
 
 def quantize_nf4(w: np.ndarray) -> QuantizedLinear:
-    return _quantize_4bit(w, NF4_TABLE, "nf4")
+    return _quantize_4bit(w, NF4_TABLE8, "nf4")
 
 
 def quantize_sf4(w: np.ndarray) -> QuantizedLinear:
-    return _quantize_4bit(w, SF4_TABLE, "sf4")
+    return _quantize_4bit(w, SF4_TABLE8, "sf4")
 
 
 QUANTIZERS = {"int8": quantize_int8, "nf4": quantize_nf4,

@@ -20,7 +20,10 @@ from .loader import LoadedModel
 from .models.info import ModelInfo, ModelVersion
 from .ops.quant import QuantizedLinear
 
-PREFAB_MAGIC = "ai00-tpu-prefab-v1"
+# v2: 4-bit weights use the split-half pack layout + integer decode table
+# with the /127 folded into the stored scale (ops/quant.py) — v1 prefabs
+# would dequantize wrong, so the magic rejects them.
+PREFAB_MAGIC = "ai00-tpu-prefab-v2"
 
 
 def _to_skeleton(obj, tensors: dict, path: str):
