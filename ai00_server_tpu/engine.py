@@ -75,14 +75,16 @@ class Engine:
         self.bias_pool = jnp.zeros((B, V), jnp.float32)
         self.mask_pool = jnp.ones((B, V), jnp.bool_)
 
-        if mesh is None and model.info.version.value == "V7":
-            # Install the head-major fused decode layout (one extra HBM
-            # copy of the layer weights) when the whole-network T=1
-            # kernel is eligible — see ops/v7_decode_pallas.py.
-            from .ops import v7_decode_pallas as fd
+        if mesh is None:
+            # Install the fused decode layout (one extra HBM copy of the
+            # layer weights) when the whole-network T=1 kernel is
+            # eligible — see ops/v{4,5,6,7}_decode_pallas.py.
             from .ops import wkv as wkv_dispatch
+            from .ops import fused_decode
 
-            if (wkv_dispatch.fused_decode_mode() != "off"
+            fd = fused_decode.module_for(model.info.version.value)
+            if (fd is not None
+                    and wkv_dispatch.fused_decode_mode() != "off"
                     and fd.FUSED_KEY not in model.params
                     and fd.can_fuse(model.params)):
                 model.params[fd.FUSED_KEY] = fd.make_fused_layout(
@@ -395,14 +397,16 @@ class Engine:
         instead of re-running prefill).  Updates row b's sampler state."""
         with self._lock:
             B = self.max_batch
-            full = np.zeros((B, self.vocab), np.float32)
-            full[b] = logits
             mask = np.zeros(B, np.bool_)
             mask[b] = True
             self._rng, sub = jax.random.split(self._rng)
             kinds, k_cap = self._sampler_key()
+            # Only the (V,) row crosses the host boundary; the (B, V)
+            # batch view is assembled on device (run.rs:968-976 feeds the
+            # cached prompt-end logits straight to the sampler).
             toks, _, self.sampler_state = _sample_only_jit(
-                sub, jnp.asarray(full), self._sparams(), self.sampler_state,
+                sub, jnp.asarray(np.asarray(logits, np.float32)),
+                jnp.int32(b), B, self._sparams(), self.sampler_state,
                 self.bias_pool, self.mask_pool, jnp.asarray(mask),
                 kinds, k_cap)
             return int(np.asarray(toks)[b])
@@ -456,9 +460,11 @@ class Engine:
         return np.asarray(lp[0])
 
 
-@functools.partial(jax.jit, donate_argnums=(3,), static_argnums=(7, 8))
-def _sample_only_jit(rng, logits, sparams, sampler_state, bias, mask,
+@functools.partial(jax.jit, donate_argnums=(5,), static_argnums=(3, 9, 10))
+def _sample_only_jit(rng, row, b, B, sparams, sampler_state, bias, mask,
                      row_mask, kinds, k_cap):
+    logits = jnp.zeros((B, row.shape[-1]), jnp.float32)
+    logits = jax.lax.dynamic_update_index_in_dim(logits, row, b, 0)
     rand = jax.random.uniform(rng, (logits.shape[0],), jnp.float32)
     toks, sp, new_ss = sampling.sample_with_rand(
         rand, logits, sparams, sampler_state, bias=bias, allowed_mask=mask,

@@ -124,6 +124,16 @@ def _layer(p, state, x, lengths):
 def forward(params, state, tokens, lengths):
     """Forward a chunk.  tokens: (B, T); lengths: (B,).  Returns
     (hidden (B, T, C) post-ln_out, new_state)."""
+    if tokens.shape[1] == 1:
+        # T=1 decode: fused whole-network Pallas kernel — see
+        # ops/v4_decode_pallas.py.  Installed by the engine at load.
+        from ..ops import wkv as wkv_dispatch
+        from ..ops import v4_decode_pallas as fd
+
+        mode = wkv_dispatch.fused_decode_mode()
+        if mode != "off" and fd.supports(params):
+            return fd.forward_t1(params, state, tokens, lengths,
+                                 interpret=(mode == "interpret"))
     x = params["emb"][tokens]  # ln0 folded into emb at load
     news = {k: [] for k in ("att_x", "aa", "bb", "pp", "ffn_x")}
     offset = 0

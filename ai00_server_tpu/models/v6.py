@@ -124,6 +124,17 @@ def _layer(p, state, x, lengths):
 def forward(params, state, tokens, lengths):
     """Forward a chunk.  tokens: (B, T); lengths: (B,).  Returns
     (hidden (B, T, C) post-ln_out, new_state)."""
+    if tokens.shape[1] == 1:
+        # T=1 decode: fused whole-network Pallas kernel (one op per step
+        # instead of ~45/layer) — see ops/v6_decode_pallas.py.  The
+        # engine installs the fused weight layout at load when eligible.
+        from ..ops import wkv as wkv_dispatch
+        from ..ops import v6_decode_pallas as fd
+
+        mode = wkv_dispatch.fused_decode_mode()
+        if mode != "off" and fd.supports(params):
+            return fd.forward_t1(params, state, tokens, lengths,
+                                 interpret=(mode == "interpret"))
     x = params["emb"][tokens]  # ln0 folded into emb at load
     new_att_x, new_wkv, new_ffn_x = [], [], []
     offset = 0

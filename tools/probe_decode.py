@@ -83,7 +83,18 @@ def main():
     lengths = jnp.ones((B,), jnp.int32)
 
     fwd = jax.jit(lambda p, s, t, l: v7.forward(p, s, t, l))
-    print(f"forward T=1:            {timed(fwd, model.params, state, tokens, lengths):.3f} ms")
+    print(f"forward T=1 (generic):  {timed(fwd, model.params, state, tokens, lengths):.3f} ms")
+
+    # Fused whole-network kernel (if eligible): both the raw kernel and
+    # the dispatched forward.
+    from ai00_server_tpu.ops import fused_decode as fdisp
+
+    fd = fdisp.module_for(info.version.value)
+    if fd is not None and fd.can_fuse(model.params):
+        fparams = dict(model.params)
+        fparams[fd.FUSED_KEY] = fd.make_fused_layout(model.params)
+        print(f"forward T=1 (fused):    {timed(jax.jit(fd.forward_t1), fparams, state, tokens, lengths):.3f} ms")
+        model.params = fparams
 
     def fwd_head(p, s, t, l):
         hidden, ns = v7.forward(p, s, t, l)
@@ -105,6 +116,14 @@ def main():
             kinds=(sampling.KIND_NUCLEUS,), k_cap=128)
 
     print(f"sampling (nucleus,128): {timed(jax.jit(sample), jax.random.PRNGKey(0), logits, ss):.3f} ms")
+
+    def sample_1024(rng, logits, ss):
+        rand = jax.random.uniform(rng, (B,), jnp.float32)
+        return sampling.sample_with_rand(
+            rand, logits, sparams, ss,
+            kinds=(sampling.KIND_NUCLEUS,), k_cap=1024)
+
+    print(f"sampling (nucleus,1024):{timed(jax.jit(sample_1024), jax.random.PRNGKey(0), logits, ss):.3f} ms")
 
     # Raw scans: forward-only vs forward+sampling, K tokens per dispatch.
     for with_sampling in (False, True):
