@@ -1,21 +1,29 @@
-"""Pallas NF4/SF4 dequant-in-matmul kernel (SURVEY.md hard part (c)).
+"""Pallas int8/NF4/SF4 dequant-in-matmul kernels (SURVEY.md hard part (c)).
 
-Decode is weight-bandwidth bound; 4-bit weights must stream from HBM as
-PACKED bytes, with the table lookup happening in VMEM inside the matmul's
-K loop — dequantizing in XLA materializes a full-precision copy first.
+Decode is weight-bandwidth bound; quantized weights must stream from HBM
+packed, with dequantization happening in VMEM inside the matmul —
+dequantizing in XLA materializes a full-precision copy in HBM first.
 
-Kernel shape: ``y (R, out) = x (R, in) @ W``, W stored as
-``codes (nb, BLOCK/2, out) uint8`` (split-half packing: byte ``i`` holds
-block rows ``i`` / ``half+i``) + ``scale (nb, 1, out) f32`` — the
-in-major layout produced by ops.quant._quantize_4bit.  Per in-block the
-kernel unpacks nibbles, decodes each via a 2-level select tree over four
-packed-int32 table constants + a variable byte shift (TPU Pallas has no
-gather; this is ~3x fewer VPU ops than a 16-way compare/select chain and
-needs no sublane interleave), then feeds the two halves to two
-(R, BLOCK/2) @ (BLOCK/2, ot) matmuls and scales the partial sum.
+Kernel shape: ``y (R, out) = x (R, in) @ W``; grid (row tiles, out tiles,
+K tiles) with K innermost so the revisited output block stays VMEM-
+resident.  Per grid cell the kernel dequantizes its whole (K-tile, ot)
+weight window in VMEM — a short elementwise pass — and issues ONE
+pipelined (rt, K) @ (K, ot) MXU dot.  (An earlier form accumulated
+per-64-row-block dots in a ``fori`` to keep scales on the accumulator;
+the 32 tiny dependent dots serialized the MXU and ran 5-10x under the
+HBM streaming floor.)
 
-Used for ALL row counts on TPU (grid tiles rows too) — XLA's gather-
-based dequant is orders of magnitude slower there.
+* int8: codes (nb, BLOCK, out) int8 + scale (nb, 1, out) f32; dequant is
+  convert + broadcast multiply.
+* nf4/sf4: codes (nb, BLOCK/2, out) uint8, split-half packing (byte ``i``
+  holds block rows ``i`` / ``half+i``; ops.quant._quantize_4bit) +
+  scale = absmax/127.  Each nibble decodes via a 2-level select tree over
+  four packed-int32 table constants + a variable byte shift (TPU Pallas
+  has no gather; ~3x fewer VPU ops than a 16-way compare/select chain),
+  and the (kt, 2, half, ot) stack reshapes contiguously to (K, ot).
+
+Used for ALL row counts on TPU (the grid tiles rows too) — XLA's
+gather-based 4-bit dequant is orders of magnitude slower there.
 """
 
 from __future__ import annotations
@@ -57,44 +65,36 @@ def _kernel(nb_tile, half, out_tile, packs, rt):
             val = (word >> ((c & 3) << 3)) & 0xFF
             return (val - 128).astype(wdt)
 
-        def block(n, acc):
-            # Widen BEFORE the bit ops: Mosaic has no uint8 shift.
-            packed = q_ref[n].astype(jnp.int32)      # (half, ot)
-            wlo = decode(packed & 0x0F)              # block rows [0, half)
-            whi = decode((packed >> 4) & 0x0F)       # rows [half, BLOCK)
-            xb = x_ref[n]                            # (rt, BLOCK)
-            part = jnp.dot(xb[:, :half], wlo,
-                           preferred_element_type=jnp.float32)
-            part = part + jnp.dot(xb[:, half:], whi,
-                                  preferred_element_type=jnp.float32)
-            return acc + part * s_ref[n]             # scale (1, ot)
-
-        acc = jax.lax.fori_loop(
-            0, nb_tile, block, jnp.zeros((rt, out_tile), jnp.float32))
-        y_ref[:] += acc
+        # Widen BEFORE the bit ops: Mosaic has no uint8 shift.
+        packed = q_ref[...].astype(jnp.int32)        # (kt, half, ot)
+        wlo = decode(packed & 0x0F)                  # block rows [0, half)
+        whi = decode((packed >> 4) & 0x0F)           # rows [half, BLOCK)
+        scale = s_ref[...].astype(wdt)               # (kt, 1, ot)
+        # (kt, 2, half, ot) -> (kt*BLOCK, ot): contiguous with the
+        # split-half pack order, so the reshape is free.
+        w = jnp.stack([wlo * scale, whi * scale], axis=1)
+        w = w.reshape(nb_tile * 2 * half, wlo.shape[-1])
+        y_ref[:] += jnp.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
 
     return kernel
 
 
-def _int8_kernel(nb_tile, out_tile, rt):
+def _int8_kernel(nb_tile, blk, out_tile, rt):
     def kernel(x_ref, q_ref, s_ref, y_ref):
         @pl.when(pl.program_id(2) == 0)
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        def block(n, acc):
-            # int8 -> bf16 happens HERE in VMEM: the codes stream from HBM
-            # at 1 byte/element.  (XLA's einsum path materializes a bf16
-            # copy of the whole weight in HBM every step: 3x the traffic.)
-            w = q_ref[n].astype(jnp.bfloat16)        # (BLOCK, ot)
-            xb = x_ref[n]                            # (rt, BLOCK)
-            part = jnp.dot(xb.astype(jnp.bfloat16), w,
-                           preferred_element_type=jnp.float32)
-            return acc + part * s_ref[n]             # scale (1, ot)
-
-        acc = jax.lax.fori_loop(
-            0, nb_tile, block, jnp.zeros((rt, out_tile), jnp.float32))
-        y_ref[:] += acc
+        # int8 -> bf16 + per-block scale happen HERE in VMEM: the codes
+        # stream from HBM at 1 byte/element.  (XLA's paths either
+        # materialize a bf16 copy of the weight in HBM or serialize into
+        # per-block dots.)
+        wdt = x_ref.dtype
+        w = q_ref[...].astype(wdt) * s_ref[...].astype(wdt)  # (kt, blk, ot)
+        w = w.reshape(nb_tile * blk, w.shape[-1])
+        y_ref[:] += jnp.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -116,20 +116,20 @@ def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False):
         R *= d
     rt = min(ROW_TILE, R)
     Rp = -(-R // rt) * rt
-    xr = jnp.moveaxis(x.reshape(R, nb, blk), 1, 0)  # (nb, R, BLOCK)
+    xr = x.reshape(R, in_dim)
     if Rp != R:
         xr = jnp.concatenate(
-            [xr, jnp.zeros((nb, Rp - R, blk), xr.dtype)], axis=1)
+            [xr, jnp.zeros((Rp - R, in_dim), xr.dtype)], axis=0)
     ot = min(out_tile, out)
     assert out % ot == 0, (out, ot)
     kt = min(K_TILE_BLOCKS, nb)
     assert nb % kt == 0, (nb, kt)
 
     y = pl.pallas_call(
-        _int8_kernel(kt, ot, rt),
+        _int8_kernel(kt, blk, ot, rt),
         grid=(Rp // rt, out // ot, nb // kt),
         in_specs=[
-            pl.BlockSpec((kt, rt, blk), lambda r, o, k: (k, r, 0),
+            pl.BlockSpec((rt, kt * blk), lambda r, o, k: (r, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, blk, ot), lambda r, o, k: (k, 0, o),
                          memory_space=pltpu.VMEM),
@@ -149,12 +149,9 @@ def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False):
 def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
                 interpret=False):
     """x: (..., in) f32/bf16; q: (nb, BLOCK/2, out) uint8;
-    scale: (nb, 1, out) f32.  Returns (..., out) in x.dtype.
-
-    Grid = (row tiles, out tiles); the kernel re-decodes the weight tile
-    once per row tile — acceptable because decode happens in VMEM and the
-    packed bytes stream from HBM at 4 bits/element.
-    """
+    scale: (nb, 1, out) f32 (= absmax/127).  Returns (..., out) in
+    x.dtype.  The packed bytes stream from HBM at 4 bits/element and
+    decode in VMEM (module docstring)."""
     *lead, in_dim = x.shape
     nb, half, out = q.shape
     assert nb * 2 * half == in_dim, (q.shape, in_dim)
@@ -163,12 +160,10 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
         R *= d
     rt = min(ROW_TILE, R)
     Rp = -(-R // rt) * rt
-    # K-blocked layout (nb, R, BLOCK): the kernel indexes blocks on the
-    # LEADING dim (lane/sublane dims must stay statically aligned).
-    xr = jnp.moveaxis(x.reshape(R, nb, 2 * half), 1, 0)
+    xr = x.reshape(R, in_dim)
     if Rp != R:
         xr = jnp.concatenate(
-            [xr, jnp.zeros((nb, Rp - R, 2 * half), xr.dtype)], axis=1)
+            [xr, jnp.zeros((Rp - R, in_dim), xr.dtype)], axis=0)
     ot = min(out_tile, out)
     assert out % ot == 0, (out, ot)
     kt = min(K_TILE_BLOCKS, nb)
@@ -181,7 +176,7 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
         _kernel(kt, half, ot, packs, rt),
         grid=(Rp // rt, out // ot, nb // kt),
         in_specs=[
-            pl.BlockSpec((kt, rt, 2 * half), lambda r, o, k: (k, r, 0),
+            pl.BlockSpec((rt, kt * 2 * half), lambda r, o, k: (r, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, half, ot), lambda r, o, k: (k, 0, o),
                          memory_space=pltpu.VMEM),
@@ -192,5 +187,5 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
         interpret=interpret,
-    )(xr, q, scale)  # kernel upcasts per block; bf16 x halves VMEM
+    )(xr, q, scale)
     return y[:R].reshape(*lead, out).astype(x.dtype)

@@ -24,19 +24,43 @@ import numpy as np  # noqa: E402
 
 def build_model(num_layer, num_emb, head_size, num_vocab, dtype,
                 quant=None):
-    """Random v7 weights at production shape, generated in f32 for speed."""
+    """Random v7 weights at production shape, generated in f32 for speed.
+
+    Multi-billion-parameter builds (random gen + quantization on host)
+    take tens of minutes, so the built model is cached as a prefab under
+    BENCH_CACHE_DIR (default /tmp/ai00_bench_cache; disable with
+    BENCH_CACHE_DIR=)."""
     import jax.numpy as jnp
 
+    from ai00_server_tpu import prefab
     from ai00_server_tpu.loader import LoadedModel, stack_params
     from ai00_server_tpu.models.info import ModelVersion
     from ai00_server_tpu.testing import make_raw_weights, tiny_info
 
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/ai00_bench_cache")
+    dt = jnp.dtype(dtype).name
+    cache = (os.path.join(
+        cache_dir, f"v7_L{num_layer}_C{num_emb}_V{num_vocab}"
+        f"_{dt}_{quant or 'none'}_{prefab.PREFAB_MAGIC}.st")
+        if cache_dir else None)
+
     info = tiny_info(ModelVersion.V7, num_layer=num_layer, num_emb=num_emb,
                      head_size=head_size, num_vocab=num_vocab)
+    if cache and os.path.exists(cache):
+        model = prefab.load_prefab(cache)
+        return model, model.info
+
     raw = make_raw_weights(info, seed=0, dtype=np.float32)
     qmap = ({i: quant for i in range(num_layer)} if quant else None)
     params = stack_params(info, raw, dtype=dtype, quant=qmap)
-    return LoadedModel(info=info, params=params, init_wkv=None), info
+    model = LoadedModel(info=info, params=params, init_wkv=None)
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            prefab.save_prefab(cache, model)
+        except Exception as e:  # cache is best-effort
+            print(f"prefab cache skipped: {e}", file=sys.stderr)
+    return model, info
 
 
 def bench_retrieval():

@@ -33,6 +33,33 @@ def timed(fn, *args, n=30):
     return max(0.0, ((time.perf_counter() - t0) * 1e3 - RTT_MS)) / n
 
 
+def timed_chain(op, x, inner=256, outer=4):
+    """Per-op ms via a device-side fori_loop of ``inner`` dependent calls
+    (one dispatch, no RTT noise).  ``op``: (B, in) -> (B, out).  An
+    optimization_barrier keeps each iteration's result live (XLA folds
+    arithmetic tricks like ``x + 0*y`` away)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        eps = jnp.asarray(1e-8, x.dtype)  # non-foldable, negligible drift
+
+        def body(_, xx):
+            y = op(xx)
+            return xx + y[:, :1].astype(xx.dtype) * eps
+
+        return jax.lax.fori_loop(0, inner, body, x)
+
+    _sync(loop(x))
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        _sync(loop(x))
+    return ((time.perf_counter() - t0) * 1e3 - outer * RTT_MS) \
+        / (outer * inner)
+
+
 def main():
     global RTT_MS
     import jax
@@ -68,10 +95,10 @@ def main():
         gb_nf4 = gb_int8 / 2
 
         q8 = quant.quantize_int8(w)
-        ms = timed(jax.jit(lambda x, q=q8.q, s=q8.scale:
-                           matmul_int8(x, q, s)), x)
+        ms = timed_chain(lambda x, q=q8.q, s=q8.scale:
+                         matmul_int8(x, q, s), x)
         print(f"int8 pallas  {cin}x{cout}: {ms:6.3f} ms "
-              f"({gb_int8 / ms * 1e3:6.1f} GB/s)")
+              f"({gb_int8 / ms * 1e3:6.1f} GB/s)", flush=True)
 
         # XLA per-block contraction (the pre-kernel decode path): int8
         # codes convert inside the dot, scales applied to the accumulator.
@@ -83,9 +110,9 @@ def main():
                               preferred_element_type=jnp.float32)
             return (part * s[None, :, 0]).sum(1)
 
-        ms = timed(jax.jit(xla_block), x)
+        ms = timed_chain(xla_block, x)
         print(f"int8 xla-blk {cin}x{cout}: {ms:6.3f} ms "
-              f"({gb_int8 / ms * 1e3:6.1f} GB/s)")
+              f"({gb_int8 / ms * 1e3:6.1f} GB/s)", flush=True)
 
         # XLA full dequant then single dot (materializes bf16 copy).
         def xla_deq(x, q=q8.q, s=q8.scale):
@@ -93,15 +120,15 @@ def main():
                    * s.astype(jnp.bfloat16)).reshape(cin, cout)
             return jnp.dot(x, wdq, preferred_element_type=jnp.float32)
 
-        ms = timed(jax.jit(xla_deq), x)
+        ms = timed_chain(xla_deq, x)
         print(f"int8 xla-deq {cin}x{cout}: {ms:6.3f} ms "
-              f"({gb_int8 / ms * 1e3:6.1f} GB/s)")
+              f"({gb_int8 / ms * 1e3:6.1f} GB/s)", flush=True)
 
         q4 = quant.quantize_nf4(w)
-        ms = timed(jax.jit(lambda x, q=q4.q, s=q4.scale:
-                           matmul_4bit(x, q, s)), x)
+        ms = timed_chain(lambda x, q=q4.q, s=q4.scale:
+                         matmul_4bit(x, q, s), x)
         print(f"nf4 pallas   {cin}x{cout}: {ms:6.3f} ms "
-              f"({gb_nf4 / ms * 1e3:6.1f} GB/s)")
+              f"({gb_nf4 / ms * 1e3:6.1f} GB/s)", flush=True)
 
 
 if __name__ == "__main__":
