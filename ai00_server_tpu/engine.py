@@ -326,7 +326,7 @@ class Engine:
         return fn
 
     def decode_chunk(self, first_tokens: np.ndarray, active: np.ndarray,
-                     steps: int):
+                     steps: int, sync: bool = True):
         """Decode ``steps`` tokens for all ``active`` rows in ONE device
         dispatch (a ``lax.scan`` feeding each sampled token back in).
 
@@ -336,6 +336,11 @@ class Engine:
         weight reads of ``steps`` forwards); when the caller detects a
         mid-chunk stop it calls :meth:`rollback_row` to restore the row
         and re-feed exactly the accepted tokens.
+
+        ``sync=False`` returns the token sequence as a DEVICE array
+        (async dispatch): a caller that feeds ``tokens[-1]`` straight into
+        the next chunk keeps the device busy across chunks and takes the
+        dispatch/transfer round-trip off the critical path.
         """
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
@@ -350,7 +355,7 @@ class Engine:
             # Only the tokens cross to the host; the probs stay on device
             # (the chunk path never reads them, and the transfer is on the
             # critical path of every decode dispatch).
-            return np.asarray(toks_seq), sp_seq
+            return (np.asarray(toks_seq) if sync else toks_seq), sp_seq
 
     def rollback_row(self, b: int, feed_tokens: list[int]) -> None:
         """Undo a row's over-decoded chunk suffix: restore row ``b`` from
@@ -390,6 +395,9 @@ class Engine:
             self.step(np.zeros((B, t), np.int32), zl, zm, want_logits)
         if decode_chunk_size > 1:
             self.decode_chunk(np.zeros(B, np.int32), zm, decode_chunk_size)
+            # The runtime's 4x bucket (runtime._drive chunk-size bucketing).
+            self.decode_chunk(np.zeros(B, np.int32), zm,
+                              decode_chunk_size * 4)
 
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast

@@ -462,7 +462,18 @@ class Runtime:
             chunkable = []
         rest = [s for s in active if s not in chunkable]
         if chunkable:
-            await self._decode_chunk_step(loop, chunkable)
+            # Chunk-size bucketing: when every chunkable row still has
+            # >= 4x the base chunk of token budget left, decode in 4x
+            # chunks (one dispatch RTT amortized over 4x the tokens;
+            # mid-chunk stop-word/EOS hits are handled by rollback_row,
+            # and LENGTH stops cannot occur inside the bigger chunk).
+            # Two fixed sizes -> two compiled scan variants, no more.
+            K = self.decode_chunk_size
+            big = K * 4
+            if all(s.ctx.request.max_tokens - s.ctx.counter.completion
+                   >= big for s in chunkable):
+                K = big
+            await self._decode_chunk_step(loop, chunkable, K)
             if rest:
                 await self._merged_step(loop, rest)
             return
@@ -520,13 +531,13 @@ class Runtime:
         for s in list(rows):
             await self._advance(s, lengths, sample_mask, result)
 
-    async def _decode_chunk_step(self, loop, active) -> None:
-        """Decode ``decode_chunk_size`` tokens for all active rows in one
-        device dispatch.  Every token the device consumed joins the row's
+    async def _decode_chunk_step(self, loop, active, K=None) -> None:
+        """Decode ``K`` tokens for all active rows in one device
+        dispatch.  Every token the device consumed joins the row's
         ``all_tokens`` (the state reflects them, so cache keys stay
         correct); only tokens up to a stop condition are emitted."""
         B = self.max_batch
-        K = self.decode_chunk_size
+        K = K or self.decode_chunk_size
         first = np.zeros(B, np.int32)
         mask = np.zeros(B, np.bool_)
         for s in active:

@@ -159,17 +159,22 @@ def main():
     prefill_tok_s = B * 128 / prefill_s
 
     # Decode via the production fast path: K tokens per device dispatch
-    # (the runtime's chunked-decode scan).  Warmup compiles, then timed.
+    # (the runtime's chunked-decode scan).  The sampled tokens stay on
+    # device between chunks (sync=False) so dispatch/transfer round-trips
+    # overlap with compute — the serving loop gets the same effect from
+    # its bucketed chunk sizes.  Warmup compiles, then timed.
     K = int(os.environ.get("BENCH_DECODE_CHUNK", "32"))
     cur = res.tokens.astype(np.int32)
-    toks_seq, _ = engine.decode_chunk(cur, mask, K)
+    toks_seq, _ = engine.decode_chunk(cur, mask, K, sync=False)
     cur = toks_seq[-1]
+    jax.block_until_ready(cur)
     t0 = time.time()
     steps_done = 0
     while steps_done < decode_steps:
-        toks_seq, _ = engine.decode_chunk(cur, mask, K)
+        toks_seq, _ = engine.decode_chunk(cur, mask, K, sync=False)
         cur = toks_seq[-1]
         steps_done += K
+    np.asarray(toks_seq)  # block: all chunks complete + tokens on host
     dt = time.time() - t0
     decode_tok_s = B * steps_done / dt
     step_ms = dt / steps_done * 1e3
