@@ -42,38 +42,45 @@ ROW_TILE = 128
 K_TILE_BLOCKS = 32  # in-blocks (of NF4_BLOCK rows) per grid step
 
 
-def _kernel(nb_tile, half, out_tile, packs, rt):
-    p0, p1, p2, p3 = (int(p) for p in packs)  # python ints: inline consts
+def decode_nibble(c, packs, wdt):
+    """4-bit table lookup without gather, on int32 codes ``c`` in [0, 16).
 
+    The 16 decode levels live as int8 (+128 bias) bytes in four int32
+    constants (ops.quant.pack_table8); bits 3:2 of the code pick the
+    constant (2-level select tree), bits 1:0 pick the byte (variable
+    shift).  Arithmetic >> then & 0xFF makes the sign-extended top byte
+    extraction correct.  Levels are exact in bf16 and f32 alike.
+    """
+    p0, p1, p2, p3 = (int(p) for p in packs)  # python ints: inline consts
+    j1 = (c & 4) != 0
+    word = jnp.where((c & 8) != 0,
+                     jnp.where(j1, p3, p2),
+                     jnp.where(j1, p1, p0))
+    val = (word >> ((c & 3) << 3)) & 0xFF
+    return (val - 128).astype(wdt)
+
+
+def dequant4_tile(q, scale, packs, wdt):
+    """Dequantize a (kt, BLOCK/2, ot) packed 4-bit tile to (kt*BLOCK, ot).
+
+    Split-half pack order makes the final reshape contiguous (free).
+    """
+    kt, half, ot = q.shape
+    packed = q.astype(jnp.int32)  # widen first: Mosaic has no uint8 shift
+    wlo = decode_nibble(packed & 0x0F, packs, wdt)   # block rows [0, half)
+    whi = decode_nibble((packed >> 4) & 0x0F, packs, wdt)
+    s = scale.astype(wdt)                            # (kt, 1, ot)
+    w = jnp.stack([wlo * s, whi * s], axis=1)        # (kt, 2, half, ot)
+    return w.reshape(kt * 2 * half, ot)
+
+
+def _kernel(nb_tile, half, out_tile, packs, rt):
     def kernel(x_ref, q_ref, s_ref, y_ref):
         @pl.when(pl.program_id(2) == 0)
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        wdt = x_ref.dtype  # int8 levels are exact in bf16 and f32 alike
-
-        def decode(c):
-            # Table lookup without gather: the 16 decode levels live as
-            # int8 (+128 bias) bytes in four int32 constants; bits 3:2 of
-            # the code pick the constant (2-level select tree), bits 1:0
-            # pick the byte (variable shift).  Arithmetic >> then & 0xFF
-            # makes the sign-extended top byte extraction correct.
-            j1 = (c & 4) != 0
-            word = jnp.where((c & 8) != 0,
-                             jnp.where(j1, p3, p2),
-                             jnp.where(j1, p1, p0))
-            val = (word >> ((c & 3) << 3)) & 0xFF
-            return (val - 128).astype(wdt)
-
-        # Widen BEFORE the bit ops: Mosaic has no uint8 shift.
-        packed = q_ref[...].astype(jnp.int32)        # (kt, half, ot)
-        wlo = decode(packed & 0x0F)                  # block rows [0, half)
-        whi = decode((packed >> 4) & 0x0F)           # rows [half, BLOCK)
-        scale = s_ref[...].astype(wdt)               # (kt, 1, ot)
-        # (kt, 2, half, ot) -> (kt*BLOCK, ot): contiguous with the
-        # split-half pack order, so the reshape is free.
-        w = jnp.stack([wlo * scale, whi * scale], axis=1)
-        w = w.reshape(nb_tile * 2 * half, wlo.shape[-1])
+        w = dequant4_tile(q_ref[...], s_ref[...], packs, x_ref.dtype)
         y_ref[:] += jnp.dot(x_ref[...], w,
                             preferred_element_type=jnp.float32)
 

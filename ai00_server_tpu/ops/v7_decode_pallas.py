@@ -54,29 +54,61 @@ _VEC_IDX = {n: i for i, n in enumerate(
     ["w0", "a0", "v0", "k_k", "k_a", "r_k", "lnx_w", "lnx_b"])}
 
 
+# The six big projections that may arrive quantized (ops.quant
+# quantize_group targets); each contributes either ``name`` (plain) or
+# ``name_q`` + ``name_s`` (codes + scales) to the fused layout.
+_BIG = ("Wr", "Wk", "Wv", "Wo", "fkey", "fval")
+_BIG_SRC = {"Wr": ("att", "receptance"), "Wk": ("att", "key"),
+            "Wv": ("att", "value"), "Wo": ("att", "output"),
+            "fkey": ("ffn", "key"), "fval": ("ffn", "value")}
+
+
 def supports(params) -> bool:
     """True when the fused decode layout is installed on these params."""
     return FUSED_KEY in params
 
 
+def _group_mode(layers):
+    """'none'/'int8'/'nf4'/'sf4' when the six big projections are
+    uniformly plain or uniformly quantized in one mode; None otherwise."""
+    from . import quant
+
+    modes = set()
+    for name, (part, key) in _BIG_SRC.items():
+        leaf = layers[part][key]
+        modes.add(leaf.mode if isinstance(leaf, quant.QuantizedLinear)
+                  else "none")
+    return modes.pop() if len(modes) == 1 else None
+
+
 def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
-    """Whether a fused layout can be built: one unquantized layer group
-    whose per-layer weights fit a double-buffered VMEM budget."""
+    """Whether a fused layout can be built: one layer group (plain, or
+    with the big projections uniformly int8/nf4/sf4-quantized) whose
+    per-layer stored bytes fit a double-buffered VMEM budget.  Quantized
+    windows stream 2-4x fewer HBM bytes AND admit models whose bf16
+    layers would not fit VMEM (1.6B int8, 3B nf4)."""
     from . import quant
 
     if len(params["groups"]) != 1:
         return False
     layers = params["groups"][0]["layers"]
+    if _group_mode(layers) is None:
+        return False
     total = 0
     leaves = jax.tree.leaves(
         layers, is_leaf=lambda x: isinstance(x, quant.QuantizedLinear))
     for leaf in leaves:
-        if isinstance(leaf, quant.QuantizedLinear) \
-                or not hasattr(leaf, "ndim"):
+        if isinstance(leaf, quant.QuantizedLinear):
+            total += (leaf.q.size // leaf.q.shape[0]) * leaf.q.dtype.itemsize
+            total += (leaf.scale.size // leaf.scale.shape[0]) * 4
+        elif not hasattr(leaf, "ndim"):
             return False
-        total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
+        else:
+            total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
     att = layers["att"]
     H, N = att["r_k"].shape[-2:]
+    # .shape[-2] is the in dim for both plain (L, C, C) arrays and
+    # QuantizedLinear (logical (in, out)).
     C = att["receptance"].shape[-2]
     if C != H * N or N % 8 != 0:
         return False
@@ -85,29 +117,37 @@ def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
 
 def make_fused_layout(params):
     """Decode weight stacks: the big matmul weights are passed through in
-    their original layout (no HBM duplication); only the per-channel
-    vectors are re-packed into a few stacked arrays."""
+    their original layout (no HBM duplication; quantized ones as
+    codes + scales); only the per-channel vectors are re-packed into a
+    few stacked arrays."""
+    from . import quant
+
     layers = params["groups"][0]["layers"]
     att, ffn = layers["att"], layers["ffn"]
-    L, C, _ = att["receptance"].shape
+    L = att["r_k"].shape[0]
+    C = att["r_k"].shape[-2] * att["r_k"].shape[-1]
 
     vec_names = ["w0", "a0", "v0", "k_k", "k_a"]
     vecs = [att[n] for n in vec_names] + [
         att["r_k"].reshape(L, C), att["ln_x_w"], att["ln_x_b"]]
-    return {
+    out = {
         "mix": jnp.stack([att[k] for k in
                           ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g")], 1),
-        "Wr": att["receptance"], "Wk": att["key"], "Wv": att["value"],
-        "Wo": att["output"],
         "w1": att["w1"], "a1": att["a1"], "v1": att["v1"], "g1": att["g1"],
         "w2": att["w2"], "a2": att["a2"], "v2": att["v2"], "g2": att["g2"],
         "vecs": jnp.stack([v.astype(jnp.float32) for v in vecs], 1),
         "ln1": jnp.stack([layers["ln1_w"], layers["ln1_b"]], 1),
         "ln2": jnp.stack([layers["ln2_w"], layers["ln2_b"]], 1),
         "fmix": ffn["x_k"][:, None],
-        "fkey": ffn["key"],
-        "fval": ffn["value"],
     }
+    for name, (part, key) in _BIG_SRC.items():
+        leaf = layers[part][key]
+        if isinstance(leaf, quant.QuantizedLinear):
+            out[f"{name}_q"] = leaf.q
+            out[f"{name}_s"] = leaf.scale
+        else:
+            out[name] = leaf
+    return out
 
 
 def _ln(x, w, b, eps):
@@ -117,12 +157,12 @@ def _ln(x, w, b, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _kernel(H, N, compute_dtype):
-    n_w = len(_FUSED_KEYS)
+def _kernel(H, N, compute_dtype, keys, qmode, packs):
+    n_w = len(keys)
 
     def kernel(*refs):
         (x0_ref, active_ref, att_x_ref, wkv_ref, ffn_x_ref) = refs[:5]
-        w = dict(zip(_FUSED_KEYS, refs[5:5 + n_w]))
+        w = dict(zip(keys, refs[5:5 + n_w]))
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[5 + n_w:9 + n_w]
         x_scr, vf_scr, y_scr, bn_scr = refs[9 + n_w:]
 
@@ -140,6 +180,19 @@ def _kernel(H, N, compute_dtype):
         def vec(name):                                # (1, C) f32
             i = _VEC_IDX[name]
             return w["vecs"][0][i:i + 1]
+
+        def W(name):
+            """A big projection, dequantized in VMEM when stored
+            quantized (codes stream from HBM at 1-0.5 bytes/element)."""
+            if name in w:
+                return w[name][0]
+            q, s = w[name + "_q"][0], w[name + "_s"][0]
+            if qmode == "int8":
+                nb, blk, out = q.shape
+                return (q.astype(cd) * s.astype(cd)).reshape(nb * blk, out)
+            from .quant_pallas import dequant4_tile
+
+            return dequant4_tile(q, s, packs, cd)
 
         def dot(a, b):
             return jnp.dot(a, b.astype(cd),
@@ -160,9 +213,9 @@ def _kernel(H, N, compute_dtype):
         xg = xa_in + dx * mix[5:6].astype(cd)
 
         # Round through cd at the same points as the generic path.
-        r = dot(xr, w["Wr"][0]).astype(cd).astype(jnp.float32)
-        k = dot(xk, w["Wk"][0]).astype(cd).astype(jnp.float32)
-        v = dot(xv, w["Wv"][0]).astype(cd).astype(jnp.float32)
+        r = dot(xr, W("Wr")).astype(cd).astype(jnp.float32)
+        k = dot(xk, W("Wk")).astype(cd).astype(jnp.float32)
+        v = dot(xv, W("Wv")).astype(cd).astype(jnp.float32)
 
         hw = jnp.tanh(dot(xw, w["w1"][0])).astype(cd)
         wdec = jnp.exp(-W_SCALE * jax.nn.sigmoid(
@@ -219,7 +272,7 @@ def _kernel(H, N, compute_dtype):
                                     keepdims=True) * v2[:, sl]
 
         yf = (y_scr[:] * vec("lnx_w") + vec("lnx_b")) + bn_scr[:]
-        att_out = dot((yf * g).astype(cd), w["Wo"][0])
+        att_out = dot((yf * g).astype(cd), W("Wo"))
         x = x + att_out
 
         natt_x_ref[0] = jnp.where(active, ln1, prev).astype(natt_x_ref.dtype)
@@ -230,9 +283,9 @@ def _kernel(H, N, compute_dtype):
         fprev = ffn_x_ref[0].astype(jnp.float32)
         fxk = ln2.astype(cd) + (fprev - ln2).astype(cd) \
             * w["fmix"][0][0:1].astype(cd)
-        hk = dot(fxk, w["fkey"][0])
+        hk = dot(fxk, W("fkey"))
         hk = jnp.square(jnp.maximum(hk, 0.0)).astype(cd)
-        x = x + dot(hk, w["fval"][0])
+        x = x + dot(hk, W("fval"))
 
         nffn_x_ref[0] = jnp.where(active, ln2, fprev).astype(nffn_x_ref.dtype)
         x_scr[:] = x
@@ -260,7 +313,25 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     compute_dtype = x0.dtype
     active = (lengths > 0)[:, None].astype(jnp.float32)
 
-    weight_arrays = [fused[k] for k in _FUSED_KEYS]
+    # Expand the key list for quantized big projections (codes + scales)
+    # and pick the dequant mode/packs.  Both derive from the params
+    # STRUCTURE, so jit re-traces when the layout changes.
+    qmode, packs = "none", None
+    keys = []
+    for k in _FUSED_KEYS:
+        if k in _BIG and k not in fused:
+            keys += [f"{k}_q", f"{k}_s"]
+        else:
+            keys.append(k)
+    if len(keys) != len(_FUSED_KEYS):
+        from . import quant
+        from .quant import NF4_TABLE8, SF4_TABLE8, pack_table8
+
+        qmode = _group_mode(layers)
+        if qmode in ("nf4", "sf4"):
+            packs = pack_table8(
+                NF4_TABLE8 if qmode == "nf4" else SF4_TABLE8)
+    weight_arrays = [fused[k] for k in keys]
 
     def wspec(arr):
         blk = (1,) + arr.shape[1:]
@@ -295,7 +366,7 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     ]
 
     x_final, natt, nwkv, nffn = pl.pallas_call(
-        _kernel(H, N, compute_dtype),
+        _kernel(H, N, compute_dtype, tuple(keys), qmode, packs),
         grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,

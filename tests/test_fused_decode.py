@@ -72,15 +72,25 @@ def test_fused_multi_step_chain(stack):
                                    rtol=5e-4, atol=5e-4)
 
 
-def test_can_fuse_rejects_quantized(stack):
+def test_can_fuse_rejects_mixed(stack):
+    """Uniformly-quantized groups fuse; mixed modes and multi-group
+    (per-layer quant splits) do not."""
     info, params = stack
-    from ai00_server_tpu.ops import quant
+    from ai00_server_tpu.testing import make_raw_weights, make_params
 
-    q = quant.quantize_int8(np.ones((128, 128), np.float32))
-    bad = {"groups": [{"layers": {"att": {"receptance": q}}}]}
-    assert not fd.can_fuse(bad)
     two = {"groups": [params["groups"][0], params["groups"][0]]}
     assert not fd.can_fuse(two)
+
+    raw = make_raw_weights(info, seed=7, dtype=np.float32)
+    pq = make_params(info, raw, dtype=np.float32,
+                     quant={i: "int8" for i in range(info.num_layer)})
+    assert fd.can_fuse(pq)
+    # De-quantize one of the big six -> mixed -> rejected.
+    mixed = jax.tree.map(lambda x: x, pq,
+                         is_leaf=lambda x: hasattr(x, "matmul"))
+    mixed["groups"][0]["layers"]["ffn"]["value"] = \
+        mixed["groups"][0]["layers"]["ffn"]["value"].dequant()
+    assert not fd.can_fuse(mixed)
 
 
 def test_fused_bf16_tracks_f32_reference(stack):
@@ -114,3 +124,38 @@ def test_fused_bf16_tracks_f32_reference(stack):
     err_fused = np.abs(np.asarray(hf, np.float32) - ref).max()
     assert err_fused <= max(err_generic * 1.5, 0.05), \
         (err_fused, err_generic)
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_fused_quantized_matches_generic(mode):
+    """Quantized big projections stream as codes+scales and dequantize in
+    VMEM; fused must match the generic quantized forward."""
+    from ai00_server_tpu.testing import tiny_info, make_raw_weights, \
+        make_params
+
+    info = tiny_info(ModelVersion.V7, num_layer=3, num_emb=128,
+                     head_size=64, num_vocab=64)
+    raw = make_raw_weights(info, seed=9, dtype=np.float32)
+    params = make_params(info, raw, dtype=np.float32,
+                         quant={i: mode for i in range(3)})
+
+    B = 4
+    state = _advanced_state(info, params, B)
+    rng = np.random.default_rng(4)
+    t1 = jnp.asarray(rng.integers(0, 64, (B, 1)), jnp.int32)
+    l1 = jnp.asarray([1, 1, 0, 1], jnp.int32)
+
+    assert fd.can_fuse(params)
+    h_ref, s_ref = jax.jit(v7.forward)(params, state, t1, l1)
+    fparams = dict(params)
+    fparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    h_f, s_f = fd.forward_t1(fparams, state, t1, l1, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_f[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=2e-4, err_msg=k)
+    for k in s_ref:
+        np.testing.assert_array_equal(np.asarray(s_f[k][:, 2]),
+                                      np.asarray(state[k][:, 2]))
