@@ -22,6 +22,12 @@ from ..models.common import LN_EPS
 
 FUSED_KEY = "_fused_t1_v4"
 
+_BIG = ("Wr", "Wk", "Wv", "Wo", "fkey", "frec", "fval")
+_BIG_SRC = {"Wr": ("att", "receptance"), "Wk": ("att", "key"),
+            "Wv": ("att", "value"), "Wo": ("att", "output"),
+            "fkey": ("ffn", "key"), "frec": ("ffn", "receptance"),
+            "fval": ("ffn", "value")}
+
 _FUSED_KEYS = [
     "Wr", "Wk", "Wv", "Wo",     # (L, C, C)
     "vecs",                     # (L, 7, C)  w, u, 1-mix_k, 1-mix_v,
@@ -40,22 +46,18 @@ def supports(params) -> bool:
 
 
 def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
-    """One unquantized layer group whose per-layer weights fit a
-    double-buffered VMEM budget (same rule as the v7 kernel)."""
-    from . import quant
+    """One layer group (plain or uniformly quantized big projections)
+    whose per-layer stored bytes fit a double-buffered VMEM budget (same
+    rule as the v7 kernel)."""
+    from . import fused_decode as fdc
 
     if len(params["groups"]) != 1:
         return False
     layers = params["groups"][0]["layers"]
-    total = 0
-    leaves = jax.tree.leaves(
-        layers, is_leaf=lambda x: isinstance(x, quant.QuantizedLinear))
-    for leaf in leaves:
-        if isinstance(leaf, quant.QuantizedLinear) \
-                or not hasattr(leaf, "ndim"):
-            return False
-        total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
-    return total <= max_vmem_bytes
+    if fdc.group_mode(layers, _BIG_SRC) is None:
+        return False
+    total = fdc.stored_bytes_per_layer(layers)
+    return 0 <= total <= max_vmem_bytes
 
 
 def make_fused_layout(params):
@@ -69,16 +71,15 @@ def make_fused_layout(params):
             1.0 - att["time_mix_k"], 1.0 - att["time_mix_v"],
             1.0 - att["time_mix_r"],
             1.0 - ffn["time_mix_k"], 1.0 - ffn["time_mix_r"]]
-    return {
-        "Wr": att["receptance"], "Wk": att["key"], "Wv": att["value"],
-        "Wo": att["output"],
+    from . import fused_decode as fdc
+
+    out = {
         "vecs": jnp.stack([v.astype(jnp.float32) for v in vecs], 1),
         "ln1": jnp.stack([layers["ln1_w"], layers["ln1_b"]], 1),
         "ln2": jnp.stack([layers["ln2_w"], layers["ln2_b"]], 1),
-        "fkey": ffn["key"],
-        "frec": ffn["receptance"],
-        "fval": ffn["value"],
     }
+    out.update(fdc.big_layout_entries(layers, _BIG_SRC))
+    return out
 
 
 def _ln(x, w, b, eps):
@@ -88,13 +89,13 @@ def _ln(x, w, b, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _kernel(compute_dtype):
-    n_w = len(_FUSED_KEYS)
+def _kernel(compute_dtype, keys, qmode, packs):
+    n_w = len(keys)
 
     def kernel(*refs):
         (x0_ref, active_ref, att_x_ref, aa_ref, bb_ref, pp_ref,
          ffn_x_ref) = refs[:7]
-        w = dict(zip(_FUSED_KEYS, refs[7:7 + n_w]))
+        w = dict(zip(keys, refs[7:7 + n_w]))
         (xout_ref, natt_x_ref, naa_ref, nbb_ref, npp_ref,
          nffn_x_ref) = refs[7 + n_w:13 + n_w]
         (x_scr,) = refs[13 + n_w:]
@@ -113,6 +114,11 @@ def _kernel(compute_dtype):
             i = _VEC_IDX[name]
             return w["vecs"][0][i:i + 1]
 
+        from . import fused_decode as fdc
+
+        # Big projections dequantize in VMEM when stored quantized.
+        W = fdc.make_W(w, qmode, packs, cd)
+
         def dot(a, b):
             return jnp.dot(a, b.astype(cd),
                            preferred_element_type=jnp.float32)
@@ -128,9 +134,9 @@ def _kernel(compute_dtype):
         xv = xa_in + dx * vec("mix_v").astype(cd)
         xr = xa_in + dx * vec("mix_r").astype(cd)
 
-        r = jax.nn.sigmoid(dot(xr, w["Wr"][0]))      # (B, C) f32
-        k = dot(xk, w["Wk"][0]).astype(cd).astype(jnp.float32)
-        v = dot(xv, w["Wv"][0]).astype(cd).astype(jnp.float32)
+        r = jax.nn.sigmoid(dot(xr, W("Wr")))      # (B, C) f32
+        k = dot(xk, W("Wk")).astype(cd).astype(jnp.float32)
+        v = dot(xv, W("Wv")).astype(cd).astype(jnp.float32)
 
         wv, u = vec("w"), vec("u")
         aa, bb, pp = aa_ref[0], bb_ref[0], pp_ref[0]  # (B, C) f32
@@ -152,7 +158,7 @@ def _kernel(compute_dtype):
         npp_ref[0] = jnp.where(active, q2, pp).astype(npp_ref.dtype)
 
         rv = (r * wkv).astype(cd)
-        att_out = dot(rv, w["Wo"][0])
+        att_out = dot(rv, W("Wo"))
         x = x + att_out
 
         natt_x_ref[0] = jnp.where(active, ln1, prev).astype(natt_x_ref.dtype)
@@ -164,10 +170,10 @@ def _kernel(compute_dtype):
         fdx = (fprev - ln2).astype(cd)
         fxk = ln2.astype(cd) + fdx * vec("fmix_k").astype(cd)
         fxr = ln2.astype(cd) + fdx * vec("fmix_r").astype(cd)
-        hk = dot(fxk, w["fkey"][0])
+        hk = dot(fxk, W("fkey"))
         hk = jnp.square(jnp.maximum(hk, 0.0)).astype(cd)
-        rf = jax.nn.sigmoid(dot(fxr, w["frec"][0]))
-        x = x + rf * dot(hk, w["fval"][0])
+        rf = jax.nn.sigmoid(dot(fxr, W("frec")))
+        x = x + rf * dot(hk, W("fval"))
 
         nffn_x_ref[0] = jnp.where(active, ln2, fprev).astype(nffn_x_ref.dtype)
         x_scr[:] = x
@@ -193,7 +199,13 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     compute_dtype = x0.dtype
     active = (lengths > 0)[:, None].astype(jnp.float32)
 
-    weight_arrays = [fused[k] for k in _FUSED_KEYS]
+    from . import fused_decode as fdc
+
+    layers = params["groups"][0]["layers"]
+    keys = fdc.expand_keys(_FUSED_KEYS, _BIG, fused)
+    qmode, packs = ("none", None) if len(keys) == len(_FUSED_KEYS) \
+        else fdc.mode_packs(layers, _BIG_SRC)
+    weight_arrays = [fused[k] for k in keys]
 
     def wspec(arr):
         blk = (1,) + arr.shape[1:]
@@ -221,7 +233,7 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
                  + [wspec(state[k]) for k in state_keys])
 
     outs = pl.pallas_call(
-        _kernel(compute_dtype),
+        _kernel(compute_dtype, tuple(keys), qmode, packs),
         grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,

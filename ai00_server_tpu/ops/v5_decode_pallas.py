@@ -23,6 +23,12 @@ from ..models.common import GN_EPS, LN_EPS
 
 FUSED_KEY = "_fused_t1_v5"
 
+_BIG = ("Wr", "Wk", "Wv", "Wg", "Wo", "fkey", "frec", "fval")
+_BIG_SRC = {"Wr": ("att", "receptance"), "Wk": ("att", "key"),
+            "Wv": ("att", "value"), "Wg": ("att", "gate"),
+            "Wo": ("att", "output"), "fkey": ("ffn", "key"),
+            "frec": ("ffn", "receptance"), "fval": ("ffn", "value")}
+
 _FUSED_KEYS = [
     "mix",                      # (L, 4, C)  1-time_mix_{k,v,r,g}
     "Wr", "Wk", "Wv", "Wg", "Wo",   # (L, C, C)
@@ -42,53 +48,49 @@ def supports(params) -> bool:
 
 
 def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
-    """One unquantized layer group whose per-layer weights fit a
-    double-buffered VMEM budget (same rule as the v7 kernel)."""
-    from . import quant
+    """One layer group (plain or uniformly quantized big projections)
+    whose per-layer stored bytes fit a double-buffered VMEM budget (same
+    rule as the v7 kernel)."""
+    from . import fused_decode as fdc
 
     if len(params["groups"]) != 1:
         return False
     layers = params["groups"][0]["layers"]
-    total = 0
-    leaves = jax.tree.leaves(
-        layers, is_leaf=lambda x: isinstance(x, quant.QuantizedLinear))
-    for leaf in leaves:
-        if isinstance(leaf, quant.QuantizedLinear) \
-                or not hasattr(leaf, "ndim"):
-            return False
-        total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
+    if fdc.group_mode(layers, _BIG_SRC) is None:
+        return False
+    total = fdc.stored_bytes_per_layer(layers)
     att = layers["att"]
     H, N = att["time_first"].shape[-2:]
     C = att["receptance"].shape[-2]
     if C != H * N or N % 8 != 0:
         return False
-    return total <= max_vmem_bytes
+    return 0 <= total <= max_vmem_bytes
 
 
 def make_fused_layout(params):
     """Decode weight stacks; the static decay/bonus and the (1 - mix)
     complements are precomputed so the kernel is pure muls/dots."""
+    from . import fused_decode as fdc
+
     layers = params["groups"][0]["layers"]
     att, ffn = layers["att"], layers["ffn"]
-    L, C, _ = att["receptance"].shape
+    L = att["time_first"].shape[0]
+    C = att["time_first"].shape[-2] * att["time_first"].shape[-1]
 
     wdec = jnp.exp(-jnp.exp(att["time_decay"].astype(jnp.float32)))
     vecs = [wdec.reshape(L, C), att["time_first"].reshape(L, C),
             att["ln_x_w"], att["ln_x_b"],
             1.0 - ffn["time_mix_k"], 1.0 - ffn["time_mix_r"]]
-    return {
+    out = {
         "mix": jnp.stack([1.0 - att[k].astype(jnp.float32) for k in
                           ("time_mix_k", "time_mix_v", "time_mix_r",
                            "time_mix_g")], 1),
-        "Wr": att["receptance"], "Wk": att["key"], "Wv": att["value"],
-        "Wg": att["gate"], "Wo": att["output"],
         "vecs": jnp.stack([v.astype(jnp.float32) for v in vecs], 1),
         "ln1": jnp.stack([layers["ln1_w"], layers["ln1_b"]], 1),
         "ln2": jnp.stack([layers["ln2_w"], layers["ln2_b"]], 1),
-        "fkey": ffn["key"],
-        "frec": ffn["receptance"],
-        "fval": ffn["value"],
     }
+    out.update(fdc.big_layout_entries(layers, _BIG_SRC))
+    return out
 
 
 def _ln(x, w, b, eps):
@@ -98,12 +100,12 @@ def _ln(x, w, b, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _kernel(H, N, compute_dtype):
-    n_w = len(_FUSED_KEYS)
+def _kernel(H, N, compute_dtype, keys, qmode, packs):
+    n_w = len(keys)
 
     def kernel(*refs):
         (x0_ref, active_ref, att_x_ref, wkv_ref, ffn_x_ref) = refs[:5]
-        w = dict(zip(_FUSED_KEYS, refs[5:5 + n_w]))
+        w = dict(zip(keys, refs[5:5 + n_w]))
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[5 + n_w:9 + n_w]
         x_scr, y_scr = refs[9 + n_w:]
 
@@ -120,6 +122,11 @@ def _kernel(H, N, compute_dtype):
         def vec(name):                                # (1, C) f32
             i = _VEC_IDX[name]
             return w["vecs"][0][i:i + 1]
+
+        from . import fused_decode as fdc
+
+        # Big projections dequantize in VMEM when stored quantized.
+        W = fdc.make_W(w, qmode, packs, cd)
 
         def dot(a, b):
             return jnp.dot(a, b.astype(cd),
@@ -138,10 +145,10 @@ def _kernel(H, N, compute_dtype):
         xr = xa_in + dx * mix[2:3].astype(cd)
         xg = xa_in + dx * mix[3:4].astype(cd)
 
-        r = dot(xr, w["Wr"][0]).astype(cd).astype(jnp.float32)
-        k = dot(xk, w["Wk"][0]).astype(cd).astype(jnp.float32)
-        v = dot(xv, w["Wv"][0]).astype(cd).astype(jnp.float32)
-        g = dot(xg, w["Wg"][0])                       # (B, C) f32
+        r = dot(xr, W("Wr")).astype(cd).astype(jnp.float32)
+        k = dot(xk, W("Wk")).astype(cd).astype(jnp.float32)
+        v = dot(xv, W("Wv")).astype(cd).astype(jnp.float32)
+        g = dot(xg, W("Wg"))                       # (B, C) f32
         g = g * jax.nn.sigmoid(g)                     # SiLU
 
         wdec = vec("wdec")                            # (1, C) static decay
@@ -166,7 +173,7 @@ def _kernel(H, N, compute_dtype):
 
         yf = (y_scr[:] * vec("lnx_w") + vec("lnx_b")).astype(cd) \
             .astype(jnp.float32)
-        att_out = dot((yf * g).astype(cd), w["Wo"][0])
+        att_out = dot((yf * g).astype(cd), W("Wo"))
         x = x + att_out
 
         natt_x_ref[0] = jnp.where(active, ln1, prev).astype(natt_x_ref.dtype)
@@ -178,10 +185,10 @@ def _kernel(H, N, compute_dtype):
         fdx = (fprev - ln2).astype(cd)
         fxk = ln2.astype(cd) + fdx * vec("fmix_k").astype(cd)
         fxr = ln2.astype(cd) + fdx * vec("fmix_r").astype(cd)
-        hk = dot(fxk, w["fkey"][0])
+        hk = dot(fxk, W("fkey"))
         hk = jnp.square(jnp.maximum(hk, 0.0)).astype(cd)
-        rf = jax.nn.sigmoid(dot(fxr, w["frec"][0]))
-        x = x + rf * dot(hk, w["fval"][0])
+        rf = jax.nn.sigmoid(dot(fxr, W("frec")))
+        x = x + rf * dot(hk, W("fval"))
 
         nffn_x_ref[0] = jnp.where(active, ln2, fprev).astype(nffn_x_ref.dtype)
         x_scr[:] = x
@@ -209,7 +216,12 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     compute_dtype = x0.dtype
     active = (lengths > 0)[:, None].astype(jnp.float32)
 
-    weight_arrays = [fused[k] for k in _FUSED_KEYS]
+    from . import fused_decode as fdc
+
+    keys = fdc.expand_keys(_FUSED_KEYS, _BIG, fused)
+    qmode, packs = ("none", None) if len(keys) == len(_FUSED_KEYS) \
+        else fdc.mode_packs(layers, _BIG_SRC)
+    weight_arrays = [fused[k] for k in keys]
 
     def wspec(arr):
         blk = (1,) + arr.shape[1:]
@@ -244,7 +256,7 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     ]
 
     x_final, natt, nwkv, nffn = pl.pallas_call(
-        _kernel(H, N, compute_dtype),
+        _kernel(H, N, compute_dtype, tuple(keys), qmode, packs),
         grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -29,6 +29,12 @@ from ..models.common import GN_EPS, LN_EPS
 FUSED_KEY = "_fused_t1_v6"
 
 # Call-order list of the fused-layout arrays.
+_BIG = ("Wr", "Wk", "Wv", "Wg", "Wo", "fkey", "frec", "fval")
+_BIG_SRC = {"Wr": ("att", "receptance"), "Wk": ("att", "key"),
+            "Wv": ("att", "value"), "Wg": ("att", "gate"),
+            "Wo": ("att", "output"), "fkey": ("ffn", "key"),
+            "frec": ("ffn", "receptance"), "fval": ("ffn", "value")}
+
 _FUSED_KEYS = [
     "mix",                      # (L, 6, C)  mix_x, mix_w, mix_k, mix_v,
     #                                        mix_r, mix_g
@@ -52,27 +58,23 @@ def supports(params) -> bool:
 
 
 def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
-    """One unquantized layer group whose per-layer weights fit a
-    double-buffered VMEM budget (same rule as the v7 kernel)."""
-    from . import quant
+    """One layer group (plain or uniformly quantized big projections)
+    whose per-layer stored bytes fit a double-buffered VMEM budget (same
+    rule as the v7 kernel)."""
+    from . import fused_decode as fdc
 
     if len(params["groups"]) != 1:
         return False
     layers = params["groups"][0]["layers"]
-    total = 0
-    leaves = jax.tree.leaves(
-        layers, is_leaf=lambda x: isinstance(x, quant.QuantizedLinear))
-    for leaf in leaves:
-        if isinstance(leaf, quant.QuantizedLinear) \
-                or not hasattr(leaf, "ndim"):
-            return False
-        total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
+    if fdc.group_mode(layers, _BIG_SRC) is None:
+        return False
+    total = fdc.stored_bytes_per_layer(layers)
     att = layers["att"]
     H, N = att["first"].shape[-2:]
     C = att["receptance"].shape[-2]
     if C != H * N or N % 8 != 0:
         return False
-    return total <= max_vmem_bytes
+    return 0 <= total <= max_vmem_bytes
 
 
 def make_fused_layout(params):
@@ -80,9 +82,12 @@ def make_fused_layout(params):
     layout; maa/decay loras split per stage; vectors re-packed."""
     layers = params["groups"][0]["layers"]
     att, ffn = layers["att"], layers["ffn"]
-    L, C, _ = att["receptance"].shape
+    L = att["mix_w1"].shape[0]
+    C = att["first"].shape[-2] * att["first"].shape[-1]
     D5 = att["mix_w1"].shape[-1]
     D = D5 // 5
+
+    from . import fused_decode as fdc
 
     vecs = [att["decay"], att["first"].reshape(L, C),
             att["ln_x_w"], att["ln_x_b"], ffn["mix_k"], ffn["mix_r"]]
@@ -90,19 +95,15 @@ def make_fused_layout(params):
         "mix": jnp.stack([att[k] for k in
                           ("mix_x", "mix_w", "mix_k", "mix_v",
                            "mix_r", "mix_g")], 1),
-        "Wr": att["receptance"], "Wk": att["key"], "Wv": att["value"],
-        "Wg": att["gate"], "Wo": att["output"],
         "dw1": att["decay_w1"], "dw2": att["decay_w2"],
         "vecs": jnp.stack([v.astype(jnp.float32) for v in vecs], 1),
         "ln1": jnp.stack([layers["ln1_w"], layers["ln1_b"]], 1),
         "ln2": jnp.stack([layers["ln2_w"], layers["ln2_b"]], 1),
-        "fkey": ffn["key"],
-        "frec": ffn["receptance"],
-        "fval": ffn["value"],
     }
     for f in range(5):
         out[f"mw1_{f}"] = att["mix_w1"][:, :, f * D:(f + 1) * D]
         out[f"mw2_{f}"] = att["mix_w2"][:, f]          # (L, D, C)
+    out.update(fdc.big_layout_entries(layers, _BIG_SRC))
     return out
 
 
@@ -113,12 +114,12 @@ def _ln(x, w, b, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _kernel(H, N, compute_dtype):
-    n_w = len(_FUSED_KEYS)
+def _kernel(H, N, compute_dtype, keys, qmode, packs):
+    n_w = len(keys)
 
     def kernel(*refs):
         (x0_ref, active_ref, att_x_ref, wkv_ref, ffn_x_ref) = refs[:5]
-        w = dict(zip(_FUSED_KEYS, refs[5:5 + n_w]))
+        w = dict(zip(keys, refs[5:5 + n_w]))
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[5 + n_w:9 + n_w]
         x_scr, y_scr = refs[9 + n_w:]
 
@@ -135,6 +136,11 @@ def _kernel(H, N, compute_dtype):
         def vec(name):                                # (1, C) f32
             i = _VEC_IDX[name]
             return w["vecs"][0][i:i + 1]
+
+        from . import fused_decode as fdc
+
+        # Big projections dequantize in VMEM when stored quantized.
+        W = fdc.make_W(w, qmode, packs, cd)
 
         def dot(a, b):
             return jnp.dot(a, b.astype(cd),
@@ -160,10 +166,10 @@ def _kernel(H, N, compute_dtype):
         xr = xa_in + dx * (mix[4:5].astype(cd) + m[3])
         xg = xa_in + dx * (mix[5:6].astype(cd) + m[4])
 
-        r = dot(xr, w["Wr"][0]).astype(cd).astype(jnp.float32)
-        k = dot(xk, w["Wk"][0]).astype(cd).astype(jnp.float32)
-        v = dot(xv, w["Wv"][0]).astype(cd).astype(jnp.float32)
-        g = dot(xg, w["Wg"][0])                       # (B, C) f32
+        r = dot(xr, W("Wr")).astype(cd).astype(jnp.float32)
+        k = dot(xk, W("Wk")).astype(cd).astype(jnp.float32)
+        v = dot(xv, W("Wv")).astype(cd).astype(jnp.float32)
+        g = dot(xg, W("Wg"))                       # (B, C) f32
         g = g * jax.nn.sigmoid(g)                     # SiLU
 
         hd = jnp.tanh(dot(xw, w["dw1"][0])).astype(cd)
@@ -190,7 +196,7 @@ def _kernel(H, N, compute_dtype):
 
         yf = (y_scr[:] * vec("lnx_w") + vec("lnx_b")).astype(cd) \
             .astype(jnp.float32)
-        att_out = dot((yf * g).astype(cd), w["Wo"][0])
+        att_out = dot((yf * g).astype(cd), W("Wo"))
         x = x + att_out
 
         natt_x_ref[0] = jnp.where(active, ln1, prev).astype(natt_x_ref.dtype)
@@ -202,10 +208,10 @@ def _kernel(H, N, compute_dtype):
         fdx = (fprev - ln2).astype(cd)
         fxk = ln2.astype(cd) + fdx * vec("fmix_k").astype(cd)
         fxr = ln2.astype(cd) + fdx * vec("fmix_r").astype(cd)
-        hk = dot(fxk, w["fkey"][0])
+        hk = dot(fxk, W("fkey"))
         hk = jnp.square(jnp.maximum(hk, 0.0)).astype(cd)
-        rf = jax.nn.sigmoid(dot(fxr, w["frec"][0]))
-        x = x + rf * dot(hk, w["fval"][0])
+        rf = jax.nn.sigmoid(dot(fxr, W("frec")))
+        x = x + rf * dot(hk, W("fval"))
 
         nffn_x_ref[0] = jnp.where(active, ln2, fprev).astype(nffn_x_ref.dtype)
         x_scr[:] = x
@@ -233,7 +239,12 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     compute_dtype = x0.dtype
     active = (lengths > 0)[:, None].astype(jnp.float32)
 
-    weight_arrays = [fused[k] for k in _FUSED_KEYS]
+    from . import fused_decode as fdc
+
+    keys = fdc.expand_keys(_FUSED_KEYS, _BIG, fused)
+    qmode, packs = ("none", None) if len(keys) == len(_FUSED_KEYS) \
+        else fdc.mode_packs(layers, _BIG_SRC)
+    weight_arrays = [fused[k] for k in keys]
 
     def wspec(arr):
         blk = (1,) + arr.shape[1:]
@@ -268,7 +279,7 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     ]
 
     x_final, natt, nwkv, nffn = pl.pallas_call(
-        _kernel(H, N, compute_dtype),
+        _kernel(H, N, compute_dtype, tuple(keys), qmode, packs),
         grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,

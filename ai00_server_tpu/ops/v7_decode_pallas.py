@@ -68,43 +68,20 @@ def supports(params) -> bool:
     return FUSED_KEY in params
 
 
-def _group_mode(layers):
-    """'none'/'int8'/'nf4'/'sf4' when the six big projections are
-    uniformly plain or uniformly quantized in one mode; None otherwise."""
-    from . import quant
-
-    modes = set()
-    for name, (part, key) in _BIG_SRC.items():
-        leaf = layers[part][key]
-        modes.add(leaf.mode if isinstance(leaf, quant.QuantizedLinear)
-                  else "none")
-    return modes.pop() if len(modes) == 1 else None
-
-
 def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
     """Whether a fused layout can be built: one layer group (plain, or
     with the big projections uniformly int8/nf4/sf4-quantized) whose
     per-layer stored bytes fit a double-buffered VMEM budget.  Quantized
     windows stream 2-4x fewer HBM bytes AND admit models whose bf16
     layers would not fit VMEM (1.6B int8, 3B nf4)."""
-    from . import quant
+    from . import fused_decode as fdc
 
     if len(params["groups"]) != 1:
         return False
     layers = params["groups"][0]["layers"]
-    if _group_mode(layers) is None:
+    if fdc.group_mode(layers, _BIG_SRC) is None:
         return False
-    total = 0
-    leaves = jax.tree.leaves(
-        layers, is_leaf=lambda x: isinstance(x, quant.QuantizedLinear))
-    for leaf in leaves:
-        if isinstance(leaf, quant.QuantizedLinear):
-            total += (leaf.q.size // leaf.q.shape[0]) * leaf.q.dtype.itemsize
-            total += (leaf.scale.size // leaf.scale.shape[0]) * 4
-        elif not hasattr(leaf, "ndim"):
-            return False
-        else:
-            total += (leaf.size // leaf.shape[0]) * leaf.dtype.itemsize
+    total = fdc.stored_bytes_per_layer(layers)
     att = layers["att"]
     H, N = att["r_k"].shape[-2:]
     # .shape[-2] is the in dim for both plain (L, C, C) arrays and
@@ -112,7 +89,7 @@ def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
     C = att["receptance"].shape[-2]
     if C != H * N or N % 8 != 0:
         return False
-    return total <= max_vmem_bytes
+    return 0 <= total <= max_vmem_bytes
 
 
 def make_fused_layout(params):
@@ -120,7 +97,7 @@ def make_fused_layout(params):
     their original layout (no HBM duplication; quantized ones as
     codes + scales); only the per-channel vectors are re-packed into a
     few stacked arrays."""
-    from . import quant
+    from . import fused_decode as fdc
 
     layers = params["groups"][0]["layers"]
     att, ffn = layers["att"], layers["ffn"]
@@ -140,13 +117,7 @@ def make_fused_layout(params):
         "ln2": jnp.stack([layers["ln2_w"], layers["ln2_b"]], 1),
         "fmix": ffn["x_k"][:, None],
     }
-    for name, (part, key) in _BIG_SRC.items():
-        leaf = layers[part][key]
-        if isinstance(leaf, quant.QuantizedLinear):
-            out[f"{name}_q"] = leaf.q
-            out[f"{name}_s"] = leaf.scale
-        else:
-            out[name] = leaf
+    out.update(fdc.big_layout_entries(layers, _BIG_SRC))
     return out
 
 
@@ -181,18 +152,11 @@ def _kernel(H, N, compute_dtype, keys, qmode, packs):
             i = _VEC_IDX[name]
             return w["vecs"][0][i:i + 1]
 
-        def W(name):
-            """A big projection, dequantized in VMEM when stored
-            quantized (codes stream from HBM at 1-0.5 bytes/element)."""
-            if name in w:
-                return w[name][0]
-            q, s = w[name + "_q"][0], w[name + "_s"][0]
-            if qmode == "int8":
-                nb, blk, out = q.shape
-                return (q.astype(cd) * s.astype(cd)).reshape(nb * blk, out)
-            from .quant_pallas import dequant4_tile
+        from . import fused_decode as fdc
 
-            return dequant4_tile(q, s, packs, cd)
+        # Big projections dequantize in VMEM when stored quantized
+        # (codes stream from HBM at 1-0.5 bytes/element).
+        W = fdc.make_W(w, qmode, packs, cd)
 
         def dot(a, b):
             return jnp.dot(a, b.astype(cd),
@@ -316,21 +280,11 @@ def forward_t1(params, state, tokens, lengths, interpret=False):
     # Expand the key list for quantized big projections (codes + scales)
     # and pick the dequant mode/packs.  Both derive from the params
     # STRUCTURE, so jit re-traces when the layout changes.
-    qmode, packs = "none", None
-    keys = []
-    for k in _FUSED_KEYS:
-        if k in _BIG and k not in fused:
-            keys += [f"{k}_q", f"{k}_s"]
-        else:
-            keys.append(k)
-    if len(keys) != len(_FUSED_KEYS):
-        from . import quant
-        from .quant import NF4_TABLE8, SF4_TABLE8, pack_table8
+    from . import fused_decode as fdc
 
-        qmode = _group_mode(layers)
-        if qmode in ("nf4", "sf4"):
-            packs = pack_table8(
-                NF4_TABLE8 if qmode == "nf4" else SF4_TABLE8)
+    keys = fdc.expand_keys(_FUSED_KEYS, _BIG, fused)
+    qmode, packs = ("none", None) if len(keys) == len(_FUSED_KEYS) \
+        else fdc.mode_packs(layers, _BIG_SRC)
     weight_arrays = [fused[k] for k in keys]
 
     def wspec(arr):

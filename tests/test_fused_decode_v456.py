@@ -111,3 +111,39 @@ def test_fused_bf16_tracks_f32_reference(stack):
     err_fused = np.abs(np.asarray(hf, np.float32) - ref).max()
     assert err_fused <= max(err_generic * 1.5, 0.05), \
         (err_fused, err_generic)
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_fused_quantized_matches_generic(stack, mode):
+    """Quantized big projections stream as codes+scales and dequantize in
+    VMEM; fused must match the generic quantized forward."""
+    from ai00_server_tpu.testing import tiny_info, make_raw_weights, \
+        make_params
+
+    info0, _, mod, fd = stack
+    info = tiny_info(info0.version, num_layer=3, num_emb=128,
+                     head_size=64, num_vocab=64)
+    raw = make_raw_weights(info, seed=9, dtype=np.float32)
+    params = make_params(info, raw, dtype=np.float32,
+                         quant={i: mode for i in range(3)})
+
+    B = 4
+    state = _advanced_state(info, mod, params, B)
+    rng = np.random.default_rng(4)
+    t1 = jnp.asarray(rng.integers(0, 64, (B, 1)), jnp.int32)
+    l1 = jnp.asarray([1, 1, 0, 1], jnp.int32)
+
+    assert fd.can_fuse(params)
+    h_ref, s_ref = jax.jit(mod.forward)(params, state, t1, l1)
+    fparams = dict(params)
+    fparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    h_f, s_f = fd.forward_t1(fparams, state, t1, l1, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_f[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=2e-4, err_msg=k)
+    for k in s_ref:
+        np.testing.assert_array_equal(np.asarray(s_f[k][:, 2]),
+                                      np.asarray(state[k][:, 2]))
