@@ -141,16 +141,24 @@ def forward(params, state, tokens, lengths):
         K = group["layer_index"].shape[0]
         sl = slice(offset, offset + K)
 
-        def scan_fn(x, xs):
-            p, att_x, aa, bb, pp, ffn_x = xs
+        # Quantized leaves stay scan-INVARIANT (see ops.quant
+        # hoist_quantized).
+        from ..ops.quant import hoist_quantized
+
+        xs_layers, reinsert = hoist_quantized(group["layers"])
+
+        def scan_fn(x, xs, _reinsert=reinsert):
+            p, att_x, aa, bb, pp, ffn_x, gidx = xs
+            p = _reinsert(p, gidx)
             x, new_s = _layer(p, (att_x, aa, bb, pp, ffn_x), x, lengths)
             return x, new_s
 
         x, (g_att_x, g_aa, g_bb, g_pp, g_ffn_x) = jax.lax.scan(
             scan_fn,
             x,
-            (group["layers"], state["att_x"][sl], state["aa"][sl],
-             state["bb"][sl], state["pp"][sl], state["ffn_x"][sl]),
+            (xs_layers, state["att_x"][sl], state["aa"][sl],
+             state["bb"][sl], state["pp"][sl], state["ffn_x"][sl],
+             jnp.arange(group["layer_index"].shape[0], dtype=jnp.int32)),
         )
         for k, g in zip(
             ("att_x", "aa", "bb", "pp", "ffn_x"),

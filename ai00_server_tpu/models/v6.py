@@ -142,16 +142,25 @@ def forward(params, state, tokens, lengths):
         K = group["layer_index"].shape[0]
         sl = slice(offset, offset + K)
 
-        def scan_fn(x, xs):
-            p, att_x, wkv, ffn_x = xs
+        # Quantized leaves stay scan-INVARIANT (slicing their codes
+        # per iteration would copy the whole model through HBM every
+        # step); the body reinserts layer views (ops.quant).
+        from ..ops.quant import hoist_quantized
+
+        xs_layers, reinsert = hoist_quantized(group["layers"])
+
+        def scan_fn(x, xs, _reinsert=reinsert):
+            p, att_x, wkv, ffn_x, gidx = xs
+            p = _reinsert(p, gidx)
             x, new_s = _layer(p, (att_x, wkv, ffn_x), x, lengths)
             return x, new_s
 
         x, (g_att_x, g_wkv, g_ffn_x) = jax.lax.scan(
             scan_fn,
             x,
-            (group["layers"], state["att_x"][sl], state["wkv"][sl],
-             state["ffn_x"][sl]),
+            (xs_layers, state["att_x"][sl], state["wkv"][sl],
+             state["ffn_x"][sl],
+             jnp.arange(group["layer_index"].shape[0], dtype=jnp.int32)),
         )
         new_att_x.append(g_att_x)
         new_wkv.append(g_wkv)

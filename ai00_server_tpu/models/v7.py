@@ -206,13 +206,20 @@ def forward(params, state, tokens, lengths):
 
     new_att_x, new_wkv, new_ffn_x = [], [], []
     offset = 0
+    from ..ops.quant import hoist_quantized
+
     for group in params["groups"]:
         K = group["layer_index"].shape[0]
         sl = slice(offset, offset + K)
+        # Quantized leaves stay scan-INVARIANT (slicing their codes per
+        # iteration would copy the whole model through HBM every step);
+        # the scan body reinserts layer views indexed by scalar prefetch.
+        xs_layers, reinsert = hoist_quantized(group["layers"])
 
-        def scan_fn(carry, xs):
+        def scan_fn(carry, xs, _reinsert=reinsert):
             x, v_first = carry
-            p, att_x, wkv, ffn_x, idx = xs
+            p, att_x, wkv, ffn_x, gidx, idx = xs
+            p = _reinsert(p, gidx)
             x, v_first, new_s = _layer(
                 p, (att_x, wkv, ffn_x), x, v_first, idx, lengths
             )
@@ -222,10 +229,11 @@ def forward(params, state, tokens, lengths):
             scan_fn,
             (x, v_first),
             (
-                group["layers"],
+                xs_layers,
                 state["att_x"][sl],
                 state["wkv"][sl],
                 state["ffn_x"][sl],
+                jnp.arange(K, dtype=jnp.int32),
                 group["layer_index"],
             ),
         )

@@ -196,3 +196,127 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
         interpret=interpret,
     )(xr, q, scale)
     return y[:R].reshape(*lead, out).astype(x.dtype)
+
+
+def _int8_kernel_l(nb_tile, blk, out_tile, rt):
+    def kernel(l_ref, x_ref, q_ref, s_ref, y_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        wdt = x_ref.dtype
+        w = q_ref[0].astype(wdt) * s_ref[0].astype(wdt)  # (kt, blk, ot)
+        w = w.reshape(nb_tile * blk, w.shape[-1])
+        y_ref[:] += jnp.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _kernel_l(nb_tile, half, out_tile, packs, rt):
+    def kernel(l_ref, x_ref, q_ref, s_ref, y_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        w = dequant4_tile(q_ref[0], s_ref[0], packs, x_ref.dtype)
+        y_ref[:] += jnp.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def matmul_int8_l(x, q, scale, l, out_tile=DEFAULT_OUT_TILE,
+                  interpret=False):
+    """``y = x @ (q[l] * scale[l])`` with STACKED codes: q is
+    (L, nb, BLOCK, out), l a traced int32 layer index.
+
+    The layer window is selected by the kernel's index_map via scalar
+    prefetch — a ``lax.scan`` over layers that passed sliced codes as xs
+    would materialize a copy of every layer's weights in HBM each step
+    (3x the decode traffic at 7B: measured 32 ms/step vs ~10 ms op-sum).
+    """
+    *lead, in_dim = x.shape
+    L, nb, blk, out = q.shape
+    assert nb * blk == in_dim, (q.shape, in_dim)
+    R = 1
+    for d in lead:
+        R *= d
+    rt = min(ROW_TILE, R)
+    Rp = -(-R // rt) * rt
+    xr = x.reshape(R, in_dim)
+    if Rp != R:
+        xr = jnp.concatenate(
+            [xr, jnp.zeros((Rp - R, in_dim), xr.dtype)], axis=0)
+    ot = min(out_tile, out)
+    assert out % ot == 0, (out, ot)
+    kt = min(K_TILE_BLOCKS, nb)
+    assert nb % kt == 0, (nb, kt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Rp // rt, out // ot, nb // kt),
+        in_specs=[
+            pl.BlockSpec((rt, kt * blk), lambda r, o, k, l_ref: (r, k)),
+            pl.BlockSpec((1, kt, blk, ot),
+                         lambda r, o, k, l_ref: (l_ref[0], k, 0, o)),
+            pl.BlockSpec((1, kt, 1, ot),
+                         lambda r, o, k, l_ref: (l_ref[0], k, 0, o)),
+        ],
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o, k, l_ref: (r, o)),
+    )
+    y = pl.pallas_call(
+        _int8_kernel_l(kt, blk, ot, rt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), xr, q, scale)
+    return y[:R].reshape(*lead, out).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "out_tile", "interpret"))
+def matmul_4bit_l(x, q, scale, l, mode="nf4", out_tile=DEFAULT_OUT_TILE,
+                  interpret=False):
+    """``y = x @ dequant(q[l], scale[l])`` with STACKED packed codes:
+    q is (L, nb, BLOCK/2, out), l a traced int32 layer index (see
+    matmul_int8_l for why)."""
+    *lead, in_dim = x.shape
+    L, nb, half, out = q.shape
+    assert nb * 2 * half == in_dim, (q.shape, in_dim)
+    R = 1
+    for d in lead:
+        R *= d
+    rt = min(ROW_TILE, R)
+    Rp = -(-R // rt) * rt
+    xr = x.reshape(R, in_dim)
+    if Rp != R:
+        xr = jnp.concatenate(
+            [xr, jnp.zeros((Rp - R, in_dim), xr.dtype)], axis=0)
+    ot = min(out_tile, out)
+    assert out % ot == 0, (out, ot)
+    kt = min(K_TILE_BLOCKS, nb)
+    assert nb % kt == 0, (nb, kt)
+    packs = pack_table8(NF4_TABLE8 if mode == "nf4" else SF4_TABLE8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Rp // rt, out // ot, nb // kt),
+        in_specs=[
+            pl.BlockSpec((rt, kt * 2 * half),
+                         lambda r, o, k, l_ref: (r, k)),
+            pl.BlockSpec((1, kt, half, ot),
+                         lambda r, o, k, l_ref: (l_ref[0], k, 0, o)),
+            pl.BlockSpec((1, kt, 1, ot),
+                         lambda r, o, k, l_ref: (l_ref[0], k, 0, o)),
+        ],
+        out_specs=pl.BlockSpec((rt, ot), lambda r, o, k, l_ref: (r, o)),
+    )
+    y = pl.pallas_call(
+        _kernel_l(kt, half, ot, packs, rt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), xr, q, scale)
+    return y[:R].reshape(*lead, out).astype(x.dtype)

@@ -66,3 +66,50 @@ def test_matmul_int8_3d_input():
     assert got.shape == (2, 3, 128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_stacked_layer_matmul(mode):
+    """Scalar-prefetch layer indexing into stacked codes == slicing."""
+    from ai00_server_tpu.ops.quant_pallas import matmul_4bit_l, matmul_int8_l
+
+    rng = np.random.default_rng(5)
+    L = 3
+    w = rng.standard_normal((L, 256, 128)).astype(np.float32) * 0.2
+    q = quant.QUANTIZERS[mode](w)   # stacked: q.q has leading L dim
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    for l in range(L):
+        per = quant.QuantizedLinear(
+            mode, q.q[l], q.scale[l], q.shape)
+        want = x @ per.dequant()
+        if mode == "int8":
+            got = matmul_int8_l(x, q.q, q.scale, jnp.int32(l),
+                                out_tile=128, interpret=True)
+        else:
+            got = matmul_4bit_l(x, q.q, q.scale, jnp.int32(l), mode=mode,
+                                out_tile=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_hoisted_scan_matches_sliced():
+    """A quantized model forward (scan with hoisted codes) still matches
+    the fp32 reference within int8 tolerance."""
+    from ai00_server_tpu.testing import tiny_info, make_raw_weights, \
+        make_params
+    from ai00_server_tpu.models import ModelVersion
+    from ai00_server_tpu.models import v7
+
+    info = tiny_info(ModelVersion.V7, num_layer=2, num_emb=128,
+                     head_size=64, num_vocab=64)
+    raw = make_raw_weights(info, seed=12, dtype=np.float32)
+    p_fp = make_params(info, raw, dtype=np.float32)
+    p_q = make_params(info, raw, dtype=np.float32,
+                      quant={0: "int8", 1: "int8"})
+    toks = jnp.asarray(np.arange(8, dtype=np.int32)[None])
+    lens = jnp.array([8], jnp.int32)
+    s = v7.init_state(info, 1)
+    h_fp, _ = jax.jit(v7.forward)(p_fp, s, toks, lens)
+    h_q, _ = jax.jit(v7.forward)(p_q, s, toks, lens)
+    rel = float(jnp.abs(h_q - h_fp).max() / jnp.abs(h_fp).max())
+    assert rel < 0.1, rel
