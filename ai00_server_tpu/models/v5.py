@@ -119,6 +119,14 @@ def dispatch_wkv56(wkv, r, k, v, w, u, mask):
         from ..ops.wkv_chunked import wkv56_chunk_mm
 
         return wkv56_chunk_mm(wkv, r, k, v, w, u, mask)
+    if T == 1 and wkv_dispatch.use_t1_kernel():
+        # Single-pass per-token update (see ops/wkv_t1.py).
+        from ..ops.wkv_t1 import wkv56_t1
+
+        new_wkv, yt = wkv56_t1(
+            wkv, r[:, 0], k[:, 0], v[:, 0], w[:, 0], u, mask[:, 0],
+            interpret=wkv_dispatch.interpret_mode())
+        return new_wkv, yt[:, None]
     return wkv_scan(wkv, r, k, v, w, u, mask)
 
 

@@ -116,10 +116,13 @@ class QuantizedLinear:
         the per-(block, out) scales to the SMALL accumulator — never
         materializing a dequantized copy of the weight.
         """
+        import os
+
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if self.mode == "int8" and rows < 512 and \
+        use_pallas = os.environ.get("AI00_QUANT_MATMUL", "pallas") != "xla"
+        if self.mode == "int8" and rows < 512 and use_pallas and \
                 jax.default_backend() in ("tpu", "axon") and \
                 self.q.ndim == 3:
             # Decode shapes: the Pallas kernel streams the int8 codes from
@@ -130,7 +133,7 @@ class QuantizedLinear:
             from .quant_pallas import matmul_int8
 
             return matmul_int8(x, self.q, self.scale)
-        if self.mode in ("nf4", "sf4") and \
+        if self.mode in ("nf4", "sf4") and use_pallas and \
                 jax.default_backend() in ("tpu", "axon") and \
                 self.q.ndim == 3:
             # Pallas kernel streams PACKED bytes from HBM and decodes in
@@ -240,11 +243,14 @@ class QuantizedLayerView:
         self.idx = idx
 
     def matmul(self, x):
+        import os
+
         qlin = self.qlin
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
         if rows < 512 and qlin.q.ndim == 4 and \
+                os.environ.get("AI00_QUANT_MATMUL", "pallas") != "xla" and \
                 jax.default_backend() in ("tpu", "axon"):
             from .quant_pallas import matmul_4bit_l, matmul_int8_l
 

@@ -54,6 +54,19 @@ def interpret_mode() -> bool:
     return os.environ.get("AI00_WKV_IMPL") == "pallas_interpret"
 
 
+def use_t1_kernel() -> bool:
+    """Single-pass T=1 WKV kernel (ops/wkv_t1.py) for the generic decode
+    path (big models that do not fit the whole-network fused kernel).
+    AI00_WKV_IMPL=scan forces the XLA scan; pallas_interpret runs the
+    kernel in interpret mode (tests)."""
+    impl = os.environ.get("AI00_WKV_IMPL", "auto")
+    if impl == "scan":
+        return False
+    if impl == "pallas_interpret":
+        return True
+    return _on_tpu()
+
+
 def fused_decode_mode() -> str:
     """'on' | 'off' | 'interpret' for the fused whole-network T=1 kernel
     (ops/v7_decode_pallas.py).  Default: on for TPU (measured 1.7x the
