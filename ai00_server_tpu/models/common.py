@@ -123,6 +123,22 @@ def channel_mix_v4(p, shift, x, lengths):
 
 def channel_mix_v7(p, shift, x, lengths):
     """v7 channel mix: no receptance gate (x_k interpolation convention)."""
+    B, T, C = x.shape
+    key, val = p["key"], p["value"]
+    if T == 1 and hasattr(key, "qlin") and hasattr(val, "qlin"):
+        from ..ops import wkv as wkv_dispatch
+
+        if wkv_dispatch.use_t1_kernel():
+            # Whole channel mix as ONE Pallas op on the stacked codes
+            # (2/3 of a layer's weight bytes) — see ops/ffn_pallas.py.
+            from ..ops.ffn_pallas import ffn7_t1_l
+
+            out, nshift = ffn7_t1_l(
+                x[:, 0], shift, p["x_k"], lengths > 0,
+                key.qlin.q, key.qlin.scale, val.qlin.q, val.qlin.scale,
+                key.idx, qmode=key.qlin.mode,
+                interpret=wkv_dispatch.interpret_mode())
+            return out[:, None].astype(x.dtype), nshift
     xp = token_shift(shift, x)
     xk = x + (xp - x) * p["x_k"]
     k = linear(xk, p["key"])

@@ -95,6 +95,10 @@ def _call(kernel_fn, flats, state, B, H, N, interpret):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # Double-buffered state windows + vectors exceed the default
+        # 16 MB scoped budget at B=16, Hc=8.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*flats, state)
     return ns, y
