@@ -86,7 +86,7 @@ class Engine:
             if (fd is not None
                     and wkv_dispatch.fused_decode_mode() != "off"
                     and fd.FUSED_KEY not in model.params
-                    and fd.can_fuse(model.params)):
+                    and fd.can_fuse(model.params, batch=max_batch)):
                 model.params[fd.FUSED_KEY] = fd.make_fused_layout(
                     model.params)
 

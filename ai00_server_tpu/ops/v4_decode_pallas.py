@@ -45,7 +45,8 @@ def supports(params) -> bool:
     return FUSED_KEY in params
 
 
-def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
+def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024,
+             batch=16) -> bool:
     """One layer group (plain or uniformly quantized big projections)
     whose per-layer stored bytes fit a double-buffered VMEM budget (same
     rule as the v7 kernel)."""

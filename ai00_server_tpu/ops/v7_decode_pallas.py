@@ -68,7 +68,8 @@ def supports(params) -> bool:
     return FUSED_KEY in params
 
 
-def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
+def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024,
+             batch=16) -> bool:
     """Whether a fused layout can be built: one layer group (plain, or
     with the big projections uniformly int8/nf4/sf4-quantized) whose
     per-layer stored bytes fit a double-buffered VMEM budget.  Quantized
@@ -87,6 +88,14 @@ def can_fuse(params, max_vmem_bytes=55 * 1024 * 1024) -> bool:
     # .shape[-2] is the in dim for both plain (L, C, C) arrays and
     # QuantizedLinear (logical (in, out)).
     C = att["receptance"].shape[-2]
+    # VMEM feasibility: double-buffered weight windows PLUS the state
+    # in/out windows (each ~2x-buffered, f32) must fit.  Empirically the
+    # 1.6B-int8 case (25 MB weights, 8.4 MB wkv window at B=16, H=32)
+    # compiled to a 187 MB vmem program — the state windows dominate, so
+    # budget them at 8x their f32 size.
+    state_window = batch * C * N * 4
+    if 2 * total + 8 * state_window > 110 * 1024 * 1024:
+        return False
     if C != H * N or N % 8 != 0:
         return False
     return 0 <= total <= max_vmem_bytes

@@ -139,8 +139,20 @@ def main():
                     state_dtype=jnp.float32)
     build_s = time.time() - t0
 
-    n_params = sum(int(np.prod(x.shape))
-                   for x in jax.tree.leaves(model.params))
+    # Logical parameter count: quantized leaves report their logical
+    # (in, out), not the packed code elements (nf4 packs 2 per byte).
+    from ai00_server_tpu.ops.quant import QuantizedLinear
+
+    def leaf_params(x):
+        if isinstance(x, QuantizedLinear):
+            lead = x.q.shape[:-3]
+            return int(np.prod(lead)) * int(np.prod(x.shape))
+        return int(np.prod(x.shape))
+
+    n_params = sum(
+        leaf_params(x) for x in jax.tree.leaves(
+            model.params,
+            is_leaf=lambda x: isinstance(x, QuantizedLinear)))
 
     rng = np.random.default_rng(0)
     for b in range(B):
