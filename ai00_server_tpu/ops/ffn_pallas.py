@@ -27,7 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import NF4_TABLE8, SF4_TABLE8, pack_table8
 from .quant_pallas import dequant4_tile
 
-PHASE_BYTES = 32 * 1024 * 1024  # target window bytes per phase
+# Target stored bytes per phase.  The effective scoped-vmem budget XLA
+# grants a pallas op nested in the decode scan is ~20 MB (measured), so
+# keep double-buffered key+value windows under it.
+PHASE_BYTES = 8 * 1024 * 1024
 
 
 def _dequant(q, s, qmode, packs, wdt):

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant import NF4_BLOCK, NF4_TABLE8, SF4_TABLE8, pack_table8
+from .quant import NF4_TABLE8, SF4_TABLE8, pack_table8
 
 DEFAULT_OUT_TILE = 512
 ROW_TILE = 128
