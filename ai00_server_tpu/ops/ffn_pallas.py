@@ -30,7 +30,7 @@ from .quant_pallas import dequant4_tile
 # Target stored bytes per phase.  The effective scoped-vmem budget XLA
 # grants a pallas op nested in the decode scan is ~20 MB (measured), so
 # keep double-buffered key+value windows under it.
-PHASE_BYTES = 8 * 1024 * 1024
+PHASE_BYTES = 6 * 1024 * 1024
 
 
 def _dequant(q, s, qmode, packs, wdt):
@@ -85,11 +85,14 @@ def ffn7_t1_l(xf, shift, mix_k, active, key_q, key_s, val_q, val_s, l,
     B, C = xf.shape
     L, nbK, blk, F = key_q.shape
     _, nbV, blkV, _ = val_q.shape
-    per_phase_bytes = (nbK * blk * F + nbV * blkV * C) \
-        * key_q.dtype.itemsize
-    FP = max(1, -(-per_phase_bytes // PHASE_BYTES))
-    while F % (F // FP) or (F // FP) % blkV or nbV % FP:
-        FP -= 1  # fall back to a divisor of the tile structure
+    total_bytes = (nbK * blk * F + nbV * blkV * C) * key_q.dtype.itemsize
+    FP = max(1, -(-total_bytes // PHASE_BYTES))
+    # The phase count must divide the tile structure; search UPWARD
+    # (more phases = smaller windows) so the budget still holds.
+    while FP < nbV and (F % FP or (F // FP) % blkV or nbV % FP):
+        FP += 1
+    if F % FP or (F // FP) % blkV or nbV % FP:
+        FP = 1  # tiny models: single phase always fits
     Ft = F // FP
     packs = None
     if qmode in ("nf4", "sf4"):
