@@ -128,7 +128,7 @@ def channel_mix_v7(p, shift, x, lengths):
     if T == 1 and hasattr(key, "qlin") and hasattr(val, "qlin"):
         from ..ops import wkv as wkv_dispatch
 
-        if wkv_dispatch.use_t1_kernel():
+        if wkv_dispatch.use_t1_kernel(C):
             # Whole channel mix as ONE Pallas op on the stacked codes
             # (2/3 of a layer's weight bytes) — see ops/ffn_pallas.py.
             from ..ops.ffn_pallas import ffn7_t1_l

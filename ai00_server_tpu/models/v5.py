@@ -119,7 +119,7 @@ def dispatch_wkv56(wkv, r, k, v, w, u, mask):
         from ..ops.wkv_chunked import wkv56_chunk_mm
 
         return wkv56_chunk_mm(wkv, r, k, v, w, u, mask)
-    if T == 1 and wkv_dispatch.use_t1_kernel():
+    if T == 1 and wkv_dispatch.use_t1_kernel(r.shape[-2] * r.shape[-1]):
         # Single-pass per-token update (see ops/wkv_t1.py).
         from ..ops.wkv_t1 import wkv56_t1
 

@@ -153,7 +153,7 @@ def _att(p, att_x, wkv, x, v_first, layer_idx, lengths):
             wkv, rh, wh, kh, vh, kk.reshape(B, T, H, N), ah, mask,
             interpret=wkv_dispatch.interpret_mode())
         y = y.astype(x.dtype)
-    elif T == 1 and wkv_dispatch.use_t1_kernel():
+    elif T == 1 and wkv_dispatch.use_t1_kernel(C):
         # Single-pass per-token update: one state read + one write in
         # VMEM instead of 3-4 XLA passes over the (B, H, N, N) tensor.
         from ..ops.wkv_t1 import wkv7_t1

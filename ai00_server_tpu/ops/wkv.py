@@ -54,17 +54,20 @@ def interpret_mode() -> bool:
     return os.environ.get("AI00_WKV_IMPL") == "pallas_interpret"
 
 
-def use_t1_kernel() -> bool:
-    """Single-pass T=1 WKV kernel (ops/wkv_t1.py) for the generic decode
-    path (big models that do not fit the whole-network fused kernel).
-    AI00_WKV_IMPL=scan forces the XLA scan; pallas_interpret runs the
-    kernel in interpret mode (tests)."""
+def use_t1_kernel(num_emb: int = 0) -> bool:
+    """Single-pass T=1 WKV / fused channel-mix kernels (ops/wkv_t1.py,
+    ops/ffn_pallas.py) for the generic decode path.  Measured A/B at
+    batch 16: +10% at 1.48B int8, -6.5% at 7B int8 (the extra pallas ops
+    shrink the nested scoped-vmem budget every kernel in the scan gets),
+    so the default is size-gated: on below C=4096.  AI00_WKV_IMPL=scan
+    forces the XLA scan; pallas_interpret runs the kernels in interpret
+    mode (tests); AI00_WKV_IMPL=pallas forces them on at any size."""
     impl = os.environ.get("AI00_WKV_IMPL", "auto")
     if impl == "scan":
         return False
-    if impl == "pallas_interpret":
+    if impl in ("pallas", "pallas_interpret"):
         return True
-    return _on_tpu()
+    return _on_tpu() and 0 < num_emb < 4096
 
 
 def fused_decode_mode() -> str:
