@@ -249,9 +249,18 @@ class QuantizedLayerView:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if rows < 512 and qlin.q.ndim == 4 and \
-                os.environ.get("AI00_QUANT_MATMUL", "pallas") != "xla" and \
-                jax.default_backend() in ("tpu", "axon"):
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # Decode-path dispatch, measured A/B at batch 16 (AI00_QUANT_MATMUL
+        # overrides): the XLA per-block einsum wins at 7B-class shapes
+        # (22.5 vs 26.8 ms/step — convert and layer-slice fuse into the
+        # dot, no custom-call boundaries), the Pallas scalar-prefetch
+        # kernel wins below (int8 1.48B: 7.6 vs 8.3).  4-bit always takes
+        # the Pallas kernel (XLA's table gather is orders slower).
+        pref = os.environ.get("AI00_QUANT_MATMUL", "auto")
+        big = min(qlin.shape) >= 4096
+        use_pallas = pref == "pallas" or (
+            pref == "auto" and not (big and qlin.mode == "int8"))
+        if rows < 512 and qlin.q.ndim == 4 and use_pallas and on_tpu:
             from .quant_pallas import matmul_4bit_l, matmul_int8_l
 
             if qlin.mode == "int8":
@@ -262,6 +271,21 @@ class QuantizedLayerView:
                                            keepdims=False)
         s_l = jax.lax.dynamic_index_in_dim(qlin.scale, self.idx, 0,
                                            keepdims=False)
+        if qlin.mode == "int8" and rows < 512 and on_tpu:
+            # Per-block einsum with the int8->bf16 convert fused into the
+            # dot's operand load and scales on the small accumulator —
+            # XLA also folds the layer dynamic-slice into the operand
+            # load, so the codes cross HBM once with no custom-call
+            # boundaries (the round-1 decode path).
+            *lead, in_dim = x.shape
+            nb, blk, out = q_l.shape
+            xb = x.reshape(-1, nb, blk)
+            part = jnp.einsum(
+                "bnk,nko->bno", xb.astype(jnp.bfloat16),
+                q_l.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            y = (part * s_l[None, :, 0]).sum(1)
+            return y.reshape(*lead, out).astype(x.dtype)
         return QuantizedLinear(qlin.mode, q_l, s_l, qlin.shape).matmul(x)
 
 
