@@ -250,16 +250,16 @@ class QuantizedLayerView:
         for d in x.shape[:-1]:
             rows *= d
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # Decode-path dispatch, measured A/B at batch 16 (AI00_QUANT_MATMUL
-        # overrides): the XLA per-block einsum wins at 7B-class shapes
-        # (22.5 vs 26.8 ms/step — convert and layer-slice fuse into the
-        # dot, no custom-call boundaries), the Pallas scalar-prefetch
-        # kernel wins below (int8 1.48B: 7.6 vs 8.3).  4-bit always takes
-        # the Pallas kernel (XLA's table gather is orders slower).
+        # Decode-path dispatch, measured A/B through the full bench at
+        # batch 16 (AI00_QUANT_MATMUL overrides): for int8 the XLA
+        # per-block einsum wins at every size tested (7B: 22.5 vs 26.8
+        # ms/step; 1.48B: 7.35 vs 7.58 — the convert AND the layer
+        # dynamic-slice fuse into the dot's operand load with no
+        # custom-call boundaries).  4-bit always takes the Pallas kernel
+        # (XLA's table gather is orders slower).
         pref = os.environ.get("AI00_QUANT_MATMUL", "auto")
-        big = min(qlin.shape) >= 4096
         use_pallas = pref == "pallas" or (
-            pref == "auto" and not (big and qlin.mode == "int8"))
+            pref == "auto" and qlin.mode != "int8")
         if rows < 512 and qlin.q.ndim == 4 and use_pallas and on_tpu:
             from .quant_pallas import matmul_4bit_l, matmul_int8_l
 
