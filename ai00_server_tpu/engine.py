@@ -164,6 +164,13 @@ class Engine:
         row = self._read_row(self.state_pool, jnp.int32(b))
         return jax.tree.map(np.asarray, row)
 
+    def read_row_state_device(self, b: int):
+        """Row b's state as DEVICE arrays (async dispatch: the copy is
+        enqueued immediately, so later pool writes cannot race it, and
+        the caller materializes to host off the critical path)."""
+        with self._lock:
+            return self._read_row(self.state_pool, jnp.int32(b))
+
     # ------------------------------------------------------------------
     # Sampler / bias / mask row management
     # ------------------------------------------------------------------

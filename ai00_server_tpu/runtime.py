@@ -26,12 +26,16 @@ TPU engine:
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Optional
 
+import jax
 import numpy as np
+
+logger = logging.getLogger("ai00_server_tpu")
 
 from .engine import Engine
 from .ops import sampling
@@ -345,6 +349,7 @@ class Runtime:
         self._task: asyncio.Task | None = None
         # Observability counters (SURVEY.md §5.1: the reference only has
         # per-request TokenCounter; we add runtime-level aggregates).
+        self._cache_stores: set = set()
         self.metrics = {
             "steps": 0,
             "prefill_tokens": 0,
@@ -888,11 +893,29 @@ class Runtime:
         if (ctx.request.kind == GenerateKind.GENERATE
                 and reason in (FinishReason.STOP, FinishReason.LENGTH)
                 and len(consumed) >= MIN_PROMPT_CACHE_TOKENS):
-            state = self.engine.read_row_state(b)
+            # Non-blocking Back-cache store: the device-side row copy is
+            # enqueued NOW (so slot reuse cannot race it); the 6-34 MB
+            # device->host transfer runs in a worker thread and the
+            # insert lands via a loop callback.  The synchronous form
+            # stalled the whole drive loop one RTT+transfer per finished
+            # request.
+            row = self.engine.read_row_state_device(b)
             cache = self.cache_for(ctx.state_id)
-            cache.insert(consumed, CachedItem(
-                state=state, logits=None, tokens=consumed))
-            cache.maintain()
+            loop = asyncio.get_event_loop()
+            fut = loop.run_in_executor(
+                None, lambda r=row: jax.tree.map(np.asarray, r))
+            self._cache_stores.add(fut)
+
+            def _store(f, cache=cache, consumed=consumed):
+                self._cache_stores.discard(f)
+                try:
+                    cache.insert(consumed, CachedItem(
+                        state=f.result(), logits=None, tokens=consumed))
+                    cache.maintain()
+                except Exception:  # cache store is best-effort
+                    logger.exception("back-cache store failed")
+
+            fut.add_done_callback(_store)
 
         self.metrics["requests_finished"] += 1
         await ctx.handle.queue.put(("stop", reason, ctx.counter))
@@ -902,6 +925,14 @@ class Runtime:
         slot.phase = _SlotPhase.IDLE
         slot.ctx = None
         self._wake.set()
+
+    async def flush_cache_stores(self) -> None:
+        """Await all in-flight Back-cache store transfers (tests/shutdown;
+        the stores themselves are off the drive loop's critical path)."""
+        while self._cache_stores:
+            await asyncio.gather(*list(self._cache_stores),
+                                 return_exceptions=True)
+            await asyncio.sleep(0)  # let the done-callbacks run
 
     # ------------------------------------------------------------------
     # Choose (perplexity classification, run.rs:936-1010)

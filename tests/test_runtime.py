@@ -452,7 +452,8 @@ def test_choose_on_back_cached_key_matches_cold(stack):
         text, *_ = await collect(await rt.submit(GenerateRequest(
             prompt=prompt, max_tokens=3, sampler=greedy_spec())))
         # The Back key is prompt + first 2 generated tokens (the 3rd was
-        # sampled but never fed).
+        # sampled but never fed).  The store is async — flush first.
+        await rt.flush_cache_stores()
         key_prompt = prompt + text[:2]
         cache = rt.cache_for("default")
         plen, item = cache.longest_prefix(tuple(tok.encode(key_prompt)))
