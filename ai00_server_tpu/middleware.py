@@ -55,7 +55,7 @@ class ReloadRequest:
     adapter: Any = "Auto"
     # TPU-native addition: decode tokens per device dispatch (the
     # on-device multi-token scan); 1 = per-token stepping.
-    decode_chunk_size: int = 8
+    decode_chunk_size: int = 16
     # TPU-native addition: multi-chip serving mesh [dp, tp] (SURVEY §2.9).
     # dp shards the slot/batch axis, tp shards heads/features/vocab.
     # [1, 1] / None = single chip.  dp must divide max_batch; dp*tp must

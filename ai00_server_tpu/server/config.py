@@ -162,7 +162,7 @@ class Config:
             tokenizer_path=tokenizer_path,
             bnf=self.bnf,
             adapter=self.adapter,
-            decode_chunk_size=int(m.get("decode_chunk_size", 8)),
+            decode_chunk_size=int(m.get("decode_chunk_size", 16)),
             # [model] mesh = [dp, tp]: multi-chip serving (TPU-native).
             mesh=[int(x) for x in m["mesh"]] if m.get("mesh") else None,
             prewarm=bool(m.get("prewarm", True)),
