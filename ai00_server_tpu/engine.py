@@ -111,7 +111,10 @@ class Engine:
         self._steps: dict[int, callable] = {}
         self._decode_scans: dict[int, callable] = {}
         # Pre-chunk state snapshot for mid-chunk stop rollback.
-        self._chunk_snapshot = None
+        # Ring of (state, sampler) pre-chunk snapshots: [-1] is the most
+        # recent chunk's pre-state (rollback_row), [-2] survives one
+        # speculative chunk (runtime pipelining; restore_last_chunk).
+        self._chunk_snaps: list = []
         # Device copy of sampler params, re-uploaded only when rows change.
         self._sparams_device = None
 
@@ -353,7 +356,10 @@ class Engine:
             self._rng, sub = jax.random.split(self._rng)
             fn = self._get_decode_scan(steps, self._sampler_key())
             if steps > 1:
-                self._chunk_snapshot = jax.tree.map(jnp.copy, self.state_pool)
+                self._chunk_snaps.append(
+                    (jax.tree.map(jnp.copy, self.state_pool),
+                     jax.tree.map(jnp.copy, self.sampler_state)))
+                del self._chunk_snaps[:-2]
             toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 jnp.asarray(first_tokens, jnp.int32),
@@ -364,14 +370,25 @@ class Engine:
             # critical path of every decode dispatch).
             return (np.asarray(toks_seq) if sync else toks_seq), sp_seq
 
+    def restore_last_chunk(self) -> None:
+        """Discard the most recent decode chunk entirely: state pool AND
+        sampler state return to their pre-chunk snapshots (device-side
+        writes only).  Used by the runtime's speculative chunk pipeline
+        when a speculatively-launched chunk turns out invalid (a row
+        stopped or membership changed); correctness is by construction —
+        the exact pre-chunk arrays come back."""
+        with self._lock:
+            assert self._chunk_snaps, "no chunk snapshot"
+            self.state_pool, self.sampler_state = self._chunk_snaps.pop()
+
     def rollback_row(self, b: int, feed_tokens: list[int]) -> None:
         """Undo a row's over-decoded chunk suffix: restore row ``b`` from
         the pre-chunk snapshot, then re-feed ``feed_tokens`` (the accepted
         tokens) with a forward-only masked step.  Device-to-device only —
         the snapshot never leaves HBM."""
-        assert self._chunk_snapshot is not None, "no chunk snapshot"
+        assert self._chunk_snaps, "no chunk snapshot"
         with self._lock:
-            row = self._read_row(self._chunk_snapshot, jnp.int32(b))
+            row = self._read_row(self._chunk_snaps[-1][0], jnp.int32(b))
             self.state_pool = self._write_row(
                 self.state_pool, row, jnp.int32(b))
         B, T = self.max_batch, self.token_chunk_size

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -350,6 +351,13 @@ class Runtime:
         # Observability counters (SURVEY.md §5.1: the reference only has
         # per-request TokenCounter; we add runtime-level aggregates).
         self._cache_stores: set = set()
+        # In-flight decode chunk (tokens still on device) for the
+        # speculative pipeline; AI00_SPECULATIVE_DECODE=off disables the
+        # successor-launch (the launch/consume split stays).
+        self._spec = None
+        self._speculative = os.environ.get(
+            "AI00_SPECULATIVE_DECODE", "on") != "off"
+
         self.metrics = {
             "steps": 0,
             "prefill_tokens": 0,
@@ -536,25 +544,94 @@ class Runtime:
         for s in list(rows):
             await self._advance(s, lengths, sample_mask, result)
 
-    async def _decode_chunk_step(self, loop, active, K=None) -> None:
-        """Decode ``K`` tokens for all active rows in one device
-        dispatch.  Every token the device consumed joins the row's
-        ``all_tokens`` (the state reflects them, so cache keys stay
-        correct); only tokens up to a stop condition are emitted."""
+    async def _launch_chunk(self, loop, active, K, first_device=None):
+        """Dispatch a decode chunk WITHOUT downloading its tokens.
+
+        Returns the in-flight record; the tokens stay on device until
+        :meth:`_consume_chunk` fetches them.  ``first_device`` chains a
+        speculative chunk from the previous chunk's device-resident last
+        tokens (no host round-trip between chunks)."""
         B = self.max_batch
-        K = K or self.decode_chunk_size
-        first = np.zeros(B, np.int32)
         mask = np.zeros(B, np.bool_)
         for s in active:
-            first[s.index] = s.ctx.all_tokens[-1]
             mask[s.index] = True
-        t0 = time.monotonic()
+        if first_device is None:
+            first = np.zeros(B, np.int32)
+            for s in active:
+                first[s.index] = s.ctx.all_tokens[-1]
+        else:
+            first = first_device
         toks_seq, _sp = await loop.run_in_executor(
-            None, self.engine.decode_chunk, first, mask, K)
+            None, lambda: self.engine.decode_chunk(
+                first, mask, K, sync=False))
+        return {"toks": toks_seq, "slots": list(active),
+                "rows": frozenset(s.index for s in active), "K": K,
+                "launched": time.monotonic()}
+
+    def _next_chunk_k(self, slots, k_prev):
+        """Chunk size for a speculative successor, assuming every row
+        accepts all ``k_prev`` tokens.  None = do not speculate (a LENGTH
+        stop is imminent; mis-guessing is only a perf matter — an invalid
+        speculative chunk is discarded wholesale)."""
+        base = self.decode_chunk_size
+        rems = [s.ctx.request.max_tokens - s.ctx.counter.completion - k_prev
+                for s in slots]
+        if min(rems) < base:
+            return None
+        return base * 4 if min(rems) >= base * 4 else base
+
+    async def _decode_chunk_step(self, loop, active, K=None) -> None:
+        """Pipelined chunked decode.  First call launches a chunk and
+        returns (tokens stay on device); the next drive iteration
+        consumes it — and, in steady state, launches the successor chunk
+        BEFORE downloading, so the ~100 ms host sync overlaps the next
+        chunk's compute.  Any row stop/abort invalidates an in-flight
+        speculative chunk: ``engine.restore_last_chunk`` puts the state
+        pool and sampler state back to their exact pre-chunk snapshots,
+        then the usual per-row rollback applies (SURVEY §7 hard part
+        (b): the tunnel RTT, not the device, bounds short-chunk decode).
+        """
+        K = K or self.decode_chunk_size
+        spec = self._spec
+        self._spec = None
+        rows = frozenset(s.index for s in active)
+        if spec is not None and not spec["rows"].issubset(rows):
+            # A spec row left the active set without being processed
+            # (defensive; finalize paths all run through consume).
+            await loop.run_in_executor(None, self.engine.restore_last_chunk)
+            spec = None
+        if spec is None:
+            self._spec = await self._launch_chunk(loop, active, K)
+            return
+        await self._consume_chunk(loop, spec, steady=(spec["rows"] == rows
+                                                      and not self.pending))
+
+    async def _consume_chunk(self, loop, spec, steady) -> None:
+        slots, K = spec["slots"], spec["K"]
+        newspec = None
+        if self._speculative and steady:
+            kn = self._next_chunk_k(slots, K)
+            if kn:
+                newspec = await self._launch_chunk(
+                    loop, slots, kn, first_device=spec["toks"][-1])
+        t0 = time.monotonic()
+        toks_seq = await loop.run_in_executor(
+            None, np.asarray, spec["toks"])
         self.metrics["steps"] += 1
-        self.metrics["step_seconds"] += time.monotonic() - t0
-        self.metrics["decode_tokens"] += int(mask.sum()) * K
-        for s in active:
+        self.metrics["step_seconds"] += time.monotonic() - spec["launched"]
+        self.metrics["decode_tokens"] += len(slots) * K
+
+        async def discard_spec():
+            nonlocal newspec
+            if newspec is not None:
+                # The speculative chunk ran from a state this stop just
+                # invalidated: restore pool+sampler to the pre-spec
+                # snapshot (== exactly the accepted post-chunk state).
+                await loop.run_in_executor(
+                    None, self.engine.restore_last_chunk)
+                newspec = None
+
+        for s in slots:
             ctx = s.ctx
             b = s.index
             row = [int(t) for t in toks_seq[:, b]]
@@ -562,6 +639,7 @@ class Runtime:
                 # All K tokens were consumed by the device state; record
                 # them so cache/resident keys stay honest (no rollback for
                 # a gone client).
+                await discard_spec()
                 ctx.all_tokens.extend(row)
                 await self._finalize(s, FinishReason.ABORT)
                 continue
@@ -569,6 +647,7 @@ class Runtime:
                 reason = await self._postprocess_token(s, token)
                 if reason is None:
                     continue
+                await discard_spec()
                 if j < K - 1:
                     # Mid-chunk stop: the scan consumed row[:K-1] but the
                     # request accepted only row[:j].  Restore the row from
@@ -580,6 +659,7 @@ class Runtime:
                         None, self.engine.rollback_row, b, feed)
                 await self._finalize(s, reason)
                 break
+        self._spec = newspec
 
     async def _admit(self) -> None:
         """Assign pending requests to free slots (Continue > Empty > Back)."""

@@ -565,3 +565,67 @@ def test_bnf_does_not_deoptimize_plain_streams(stack):
     # 3 plain rows x 24 tokens with K=8 chunking: if plain rows had been
     # de-optimized to per-token steps, steps would exceed 72.
     assert steps < 40, f"too many device dispatches: {steps}"
+
+
+def test_speculative_pipeline_long_generation(stack):
+    """Greedy long generation via the speculative chunk pipeline equals
+    the non-speculative path token for token."""
+    info, model, tok = stack
+
+    async def run(spec_on):
+        import os
+        os.environ["AI00_SPECULATIVE_DECODE"] = "on" if spec_on else "off"
+        try:
+            eng = Engine(model, max_batch=4, token_chunk_size=8,
+                         state_dtype=jnp.float32)
+            rt = Runtime(eng, tok, decode_chunk_size=4)
+            rt.start()
+            text, reason, counter, _ = await collect(await rt.submit(
+                GenerateRequest(prompt="ABCABC", max_tokens=40,
+                                sampler=greedy_spec())))
+            await rt.flush_cache_stores()
+            await rt.stop()
+            return text, reason, counter.completion
+        finally:
+            os.environ.pop("AI00_SPECULATIVE_DECODE", None)
+
+    t_on, r_on, n_on = run_async(run(True))
+    t_off, r_off, n_off = run_async(run(False))
+    assert (t_on, r_on, n_on) == (t_off, r_off, n_off)
+    assert n_on > 8  # several chunks ran (EOS may stop it before 40)
+
+
+def test_speculative_discard_on_stop_word(stack):
+    """A stop word hit mid-chunk discards the speculative chunk and
+    restores the row exactly: a follow-up continues from clean state."""
+    info, model, tok = stack
+
+    async def run(spec_on):
+        import os
+        os.environ["AI00_SPECULATIVE_DECODE"] = "on" if spec_on else "off"
+        try:
+            eng = Engine(model, max_batch=4, token_chunk_size=8,
+                         state_dtype=jnp.float32)
+            rt = Runtime(eng, tok, decode_chunk_size=4)
+            rt.start()
+            # Greedy from this prompt; find its 6th generated char and use
+            # it as a stop word so the stop lands mid-chunk.
+            probe, *_ = await collect(await rt.submit(GenerateRequest(
+                prompt="HELLO", max_tokens=24, sampler=greedy_spec())))
+            stopc = probe[5]
+            text, reason, counter, _ = await collect(await rt.submit(
+                GenerateRequest(prompt="HELLO", max_tokens=24,
+                                stop=[stopc], sampler=greedy_spec())))
+            # And a second request must be unaffected by any discard.
+            text2, *_ = await collect(await rt.submit(GenerateRequest(
+                prompt="HELLO", max_tokens=24, sampler=greedy_spec())))
+            await rt.flush_cache_stores()
+            await rt.stop()
+            return text, reason, text2
+        finally:
+            os.environ.pop("AI00_SPECULATIVE_DECODE", None)
+
+    on = run_async(run(True))
+    off = run_async(run(False))
+    assert on == off
+    assert on[1] == FinishReason.STOP
