@@ -450,6 +450,11 @@ class Runtime:
 
     async def _drive_once(self) -> None:
         loop = asyncio.get_event_loop()
+        if os.environ.get("AI00_TRACE_DRIVE"):
+            logger.info("drive: pending=%d active=%d",
+                        len(self.pending),
+                        sum(1 for s in self.slots
+                            if s.phase != _SlotPhase.IDLE))
         await self._admit()
         active = [s for s in self.slots if s.phase != _SlotPhase.IDLE]
         if not active:
