@@ -79,3 +79,38 @@ def test_runtime_on_mesh():
     # text length may fall short of the completion count.
     assert counter.completion == 5
     assert len(text) <= 5
+
+
+def test_sharded_quantized_matches_unsharded():
+    """int8-quantized params on the mesh (quantized leaves replicate;
+    execution must still match the unsharded engine)."""
+    assert len(jax.devices()) >= 8
+    from ai00_server_tpu.testing import make_raw_weights, make_params, \
+        tiny_info
+
+    info = tiny_info(ModelVersion.V7, num_layer=2, num_emb=256,
+                     head_size=64, num_vocab=512)
+    raw = make_raw_weights(info, seed=82, dtype=np.float32)
+    params = make_params(info, raw, dtype=np.float32,
+                         quant={0: "int8", 1: "int8"})
+
+    def run(mesh):
+        model = LoadedModel(
+            info=info, params=jax.tree.map(lambda x: x, params),
+            init_wkv=None)
+        eng = Engine(model, max_batch=8, token_chunk_size=8,
+                     state_dtype=jnp.float32, mesh=mesh)
+        for b in range(8):
+            eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY})
+        tokens = np.tile(np.arange(1, 9, dtype=np.int32), (8, 1))
+        lengths = np.full(8, 8, np.int32)
+        mask = np.ones(8, np.bool_)
+        res = eng.step(tokens, lengths, mask)
+        toks_seq, _ = eng.decode_chunk(res.tokens.astype(np.int32), mask, 4)
+        return res.tokens, toks_seq
+
+    t_ref, seq_ref = run(None)
+    mesh = make_mesh(dp=4, tp=2)
+    t_sh, seq_sh = run(mesh)
+    np.testing.assert_array_equal(t_sh, t_ref)
+    np.testing.assert_array_equal(seq_sh, seq_ref)
