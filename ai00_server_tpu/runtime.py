@@ -623,7 +623,9 @@ class Runtime:
         toks_seq = await loop.run_in_executor(
             None, np.asarray, spec["toks"])
         self.metrics["steps"] += 1
-        self.metrics["step_seconds"] += time.monotonic() - spec["launched"]
+        # Blocking time only: launch-to-consume spans overlap other work
+        # (that's the point of the pipeline) and would double-count.
+        self.metrics["step_seconds"] += time.monotonic() - t0
         self.metrics["decode_tokens"] += len(slots) * K
 
         async def discard_spec():

@@ -629,3 +629,42 @@ def test_speculative_discard_on_stop_word(stack):
     off = run_async(run(False))
     assert on == off
     assert on[1] == FinishReason.STOP
+
+
+def test_speculative_abort_discards_cleanly(stack):
+    """Aborting a request mid-pipeline discards the speculative chunk;
+    a subsequent request on the same runtime behaves normally."""
+    info, model, tok = stack
+
+    async def run():
+        import os
+        os.environ["AI00_SPECULATIVE_DECODE"] = "on"
+        try:
+            eng = Engine(model, max_batch=4, token_chunk_size=8,
+                         state_dtype=jnp.float32)
+            rt = Runtime(eng, tok, decode_chunk_size=4)
+            rt.start()
+            h = await rt.submit(GenerateRequest(
+                prompt="ABCD", max_tokens=200, sampler=greedy_spec()))
+            # Let a few chunks run, then drop the client.
+            got = 0
+            async for msg in h:
+                if msg[0] == "content":
+                    got += 1
+                    if got >= 6:
+                        h.cancel()
+                if msg[0] == "done":
+                    break
+            text2, reason2, c2, _ = await collect(await rt.submit(
+                GenerateRequest(prompt="ABCD", max_tokens=8,
+                                sampler=greedy_spec())))
+            await rt.flush_cache_stores()
+            await rt.stop()
+            return got, text2, reason2
+        finally:
+            os.environ.pop("AI00_SPECULATIVE_DECODE", None)
+
+    got, text2, reason2 = run_async(run())
+    assert got >= 6
+    assert reason2 in (FinishReason.LENGTH, FinishReason.STOP)
+    assert len(text2) >= 1
