@@ -108,3 +108,27 @@ def test_position_logps_does_not_advance(engine):
     for k in before:
         np.testing.assert_allclose(np.asarray(after[k]),
                                    np.asarray(before[k]), atol=0)
+
+
+def test_restore_last_chunk_ring(engine):
+    """restore_last_chunk discards exactly one chunk (state + sampler);
+    the remaining ring entry still serves rollback_row."""
+    eng, info = engine
+    B = eng.max_batch
+    for b in range(B):
+        eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY})
+    first = np.zeros(B, np.int32)
+    mask = np.ones(B, np.bool_)
+
+    toks1, _ = eng.decode_chunk(first, mask, 4)         # chunk i
+    pool_after_1 = jax.tree.map(np.asarray, eng.state_pool)
+    toks2, _ = eng.decode_chunk(toks1[-1], mask, 4)     # chunk i+1
+
+    eng.restore_last_chunk()                            # discard i+1
+    pool_restored = jax.tree.map(np.asarray, eng.state_pool)
+    for a, b_ in zip(jax.tree.leaves(pool_after_1),
+                     jax.tree.leaves(pool_restored)):
+        np.testing.assert_array_equal(a, b_)
+
+    # The older ring entry (pre-chunk-i) still backs rollback_row.
+    eng.rollback_row(0, [int(first[0])])
