@@ -5,9 +5,11 @@ crates/ai00-core/src/reload.rs:23-27).
 
 TPU-first design: weights are *stored* quantized in HBM (the decode
 bottleneck is weight bandwidth) and dequantized on the fly inside the
-matmul — XLA fuses the convert/table-lookup into the dot's operand load.
-A Pallas dequant-in-matmul kernel is the follow-on optimization for the
-NF4 path.
+matmul.  Decode dispatch (measured, see docs/decode-paths.md): int8
+goes through a per-block XLA einsum (the convert and the layer
+dynamic-slice fuse into the dot's operand load), 4-bit through the
+Pallas packed-table kernel (XLA has no efficient gather on TPU);
+AI00_QUANT_MATMUL overrides.
 
 * Int8: symmetric per-(128-row block, output column) scaling,
   ``q = round(w / s)``, ``s = absmax / 127``.
@@ -125,11 +127,10 @@ class QuantizedLinear:
         if self.mode == "int8" and rows < 512 and use_pallas and \
                 jax.default_backend() in ("tpu", "axon") and \
                 self.q.ndim == 3:
-            # Decode shapes: the Pallas kernel streams the int8 codes from
-            # HBM (1 byte/element) and converts in VMEM — the XLA einsum
-            # alternative materializes a bf16 copy of the weight in HBM
-            # every step (3x the traffic at 7B: ~23 ms vs the ~4.5 ms
-            # int8-bandwidth floor).
+            # Decode shapes, UNSTACKED codes (rollback re-feed, tests):
+            # the Pallas kernel streams the int8 codes from HBM and
+            # converts in VMEM.  (The serving path uses STACKED codes via
+            # QuantizedLayerView, where the per-block einsum wins.)
             from .quant_pallas import matmul_int8
 
             return matmul_int8(x, self.q, self.scale)
