@@ -106,6 +106,7 @@ class Engine:
         self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._lock = threading.Lock()
+        self._prewarm_cancelled = False
 
         # T-bucketed compiled step fns.
         self._steps: dict[int, callable] = {}
@@ -336,7 +337,8 @@ class Engine:
         return fn
 
     def decode_chunk(self, first_tokens: np.ndarray, active: np.ndarray,
-                     steps: int, sync: bool = True):
+                     steps: int, sync: bool = True, snapshot: bool = True,
+                     host_first: tuple | None = None):
         """Decode ``steps`` tokens for all ``active`` rows in ONE device
         dispatch (a ``lax.scan`` feeding each sampled token back in).
 
@@ -351,18 +353,33 @@ class Engine:
         (async dispatch): a caller that feeds ``tokens[-1]`` straight into
         the next chunk keeps the device busy across chunks and takes the
         dispatch/transfer round-trip off the critical path.
+
+        ``snapshot=False`` skips the snapshot-ring push: used by
+        compile-only warmup calls (no active rows), which must never evict
+        the runtime's real pre-chunk rollback snapshots.
+
+        ``host_first=(mask, values)`` merges host-provided first tokens
+        into a device-resident ``first_tokens`` array where ``mask`` is
+        set: rows newly joining a chained speculative pipeline supply
+        their first token from the host while continuing rows chain from
+        the previous chunk's device-resident last tokens.
         """
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             fn = self._get_decode_scan(steps, self._sampler_key())
-            if steps > 1:
+            if steps > 1 and snapshot:
                 self._chunk_snaps.append(
                     (jax.tree.map(jnp.copy, self.state_pool),
                      jax.tree.map(jnp.copy, self.sampler_state)))
                 del self._chunk_snaps[:-2]
+            first = jnp.asarray(first_tokens, jnp.int32)
+            if host_first is not None:
+                hmask, hvals = host_first
+                first = jnp.where(jnp.asarray(hmask, jnp.bool_),
+                                  jnp.asarray(hvals, jnp.int32), first)
             toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
                 self.model.params, self.state_pool, self.sampler_state,
-                jnp.asarray(first_tokens, jnp.int32),
+                first,
                 jnp.asarray(active, jnp.bool_),
                 self._sparams(), self.bias_pool, self.mask_pool, sub)
             # Only the tokens cross to the host; the probs stay on device
@@ -381,14 +398,17 @@ class Engine:
             assert self._chunk_snaps, "no chunk snapshot"
             self.state_pool, self.sampler_state = self._chunk_snaps.pop()
 
-    def rollback_row(self, b: int, feed_tokens: list[int]) -> None:
+    def rollback_row(self, b: int, feed_tokens: list[int],
+                     depth: int = -1) -> None:
         """Undo a row's over-decoded chunk suffix: restore row ``b`` from
-        the pre-chunk snapshot, then re-feed ``feed_tokens`` (the accepted
-        tokens) with a forward-only masked step.  Device-to-device only —
-        the snapshot never leaves HBM."""
+        the pre-chunk snapshot at ring position ``depth`` (-1 = most
+        recent launch, -2 = the chunk before it — used when a speculative
+        successor is already in flight), then re-feed ``feed_tokens`` (the
+        accepted tokens) with a forward-only masked step.  Device-to-
+        device only — the snapshot never leaves HBM."""
         assert self._chunk_snaps, "no chunk snapshot"
         with self._lock:
-            row = self._read_row(self._chunk_snaps[-1][0], jnp.int32(b))
+            row = self._read_row(self._chunk_snaps[depth][0], jnp.int32(b))
             self.state_pool = self._write_row(
                 self.state_pool, row, jnp.int32(b))
         B, T = self.max_batch, self.token_chunk_size
@@ -401,27 +421,39 @@ class Engine:
             lengths[b] = len(part)
             self.step(toks, lengths, no_sample, False)
 
+    def cancel_prewarm(self) -> None:
+        """Ask an in-flight :meth:`prewarm` to stop between buckets (model
+        unload/reload must not leave a background compile pinning the old
+        params in device memory)."""
+        self._prewarm_cancelled = True
+
     def prewarm(self, decode_chunk_size: int = 8) -> None:
         """Compile the serving-step buckets with no-op inputs (all lengths
         zero, nothing sampled): (T=1, T=chunk) x want_logits plus the
         K-token decode scan.  Safe to run in the background concurrently
         with real traffic — a zero-length step never mutates row state,
-        sampler state, or pools, so interleaving is harmless; real calls
-        just wait on the engine lock per step.
+        sampler state, pools, or (``snapshot=False``) the chunk-snapshot
+        ring, so interleaving is harmless; real calls just wait on the
+        engine lock per step.
 
         With the persistent compile cache enabled this also seeds the
         on-disk cache, so a process restart pays tracing only.
         """
+        self._prewarm_cancelled = False
         B, T = self.max_batch, self.token_chunk_size
         zl = np.zeros(B, np.int32)
         zm = np.zeros(B, np.bool_)
         for t, want_logits in ((T, True), (T, False), (1, False), (1, True)):
+            if self._prewarm_cancelled:
+                return
             self.step(np.zeros((B, t), np.int32), zl, zm, want_logits)
         if decode_chunk_size > 1:
-            self.decode_chunk(np.zeros(B, np.int32), zm, decode_chunk_size)
-            # The runtime's 4x bucket (runtime._drive chunk-size bucketing).
-            self.decode_chunk(np.zeros(B, np.int32), zm,
-                              decode_chunk_size * 4)
+            for k in (decode_chunk_size, decode_chunk_size * 4):
+                # The 4x bucket: runtime._drive chunk-size bucketing.
+                if self._prewarm_cancelled:
+                    return
+                self.decode_chunk(np.zeros(B, np.int32), zm, k,
+                                  snapshot=False)
 
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast

@@ -259,7 +259,19 @@ class Middleware:
 
     async def _unload_locked(self) -> None:
         if self.env is not None:
-            await self.env.runtime.stop()
+            env = self.env
+            if env.prewarm_future is not None:
+                # A reload during the (possibly minutes-long) background
+                # compile would otherwise leave the old engine's prewarm
+                # thread alive, pinning the old params in device memory
+                # while the new model loads (transient double residency).
+                env.engine.cancel_prewarm()
+                try:
+                    await asyncio.wait_for(
+                        asyncio.shield(env.prewarm_future), timeout=900)
+                except Exception:
+                    pass
+            await env.runtime.stop()
             self.env = None
 
     async def save(self, path: str) -> None:

@@ -376,10 +376,44 @@ class Runtime:
         self._task = asyncio.get_event_loop().create_task(self._drive())
 
     async def stop(self) -> None:
+        """Stop the drive loop and DRAIN: every in-flight request's stream
+        is finalized with ABORT and every queued request is failed, so
+        `/admin/models/unload` (or reload) under live traffic ends all
+        HTTP streams instead of leaving handlers awaiting forever (the
+        reference ends streams when the old runtime's senders drop,
+        run.rs:1139-1141)."""
         self._stopped = True
         self._wake.set()
         if self._task:
             await self._task
+        await self._abandon_spec()
+        for s in self.slots:
+            if s.ctx is not None:
+                try:
+                    await self._finalize(s, FinishReason.ABORT)
+                except Exception:
+                    logger.exception("drain: finalize failed")
+                    s.phase = _SlotPhase.IDLE
+                    s.ctx = None
+                    s.resident_tokens = ()
+        for ctx in self.pending:
+            await ctx.handle.queue.put(
+                ("stop", FinishReason.ABORT, ctx.counter))
+            await ctx.handle.queue.put(("done",))
+        self.pending = []
+
+    async def _abandon_spec(self) -> None:
+        """Discard an in-flight speculative chunk record (crash recovery /
+        shutdown): the chunk's device state is rolled back so row states
+        match their books, and the record is dropped."""
+        if self._spec is None:
+            return
+        self._spec = None
+        loop = asyncio.get_event_loop()
+        try:
+            await loop.run_in_executor(None, self.engine.restore_last_chunk)
+        except Exception:
+            logger.exception("speculative-chunk rollback failed")
 
     async def submit(self, request: GenerateRequest) -> GenerateHandle:
         """Queue a generation; returns the per-request handle."""
@@ -439,6 +473,11 @@ class Runtime:
 
                 logging.getLogger(__name__).exception(
                     "runtime step failed; resetting busy slots")
+                # A stale in-flight chunk record would either crash
+                # _consume_chunk on the reset slots (ctx=None) or restore
+                # a pre-crash whole-pool snapshot over freshly admitted
+                # rows: roll it back NOW, while the books still match.
+                await self._abandon_spec()
                 for s in self.slots:
                     if s.ctx is not None:
                         try:
@@ -446,7 +485,11 @@ class Runtime:
                         except Exception:
                             s.phase = _SlotPhase.IDLE
                             s.ctx = None
-                            s.resident_tokens = ()
+                    # After a mid-step failure the pool rows can no
+                    # longer be trusted to match the books; drop every
+                    # continue-in-place record (the host prefix cache
+                    # still serves).
+                    s.resident_tokens = ()
 
     async def _drive_once(self) -> None:
         loop = asyncio.get_event_loop()
@@ -479,23 +522,20 @@ class Runtime:
         else:
             chunkable = []
         rest = [s for s in active if s not in chunkable]
-        if chunkable:
-            # Chunk-size bucketing: when every chunkable row still has
-            # >= 4x the base chunk of token budget left, decode in 4x
-            # chunks (one dispatch RTT amortized over 4x the tokens;
-            # mid-chunk stop-word/EOS hits are handled by rollback_row,
-            # and LENGTH stops cannot occur inside the bigger chunk).
-            # Two fixed sizes -> two compiled scan variants, no more.
-            K = self.decode_chunk_size
-            big = K * 4
-            if all(s.ctx.request.max_tokens - s.ctx.counter.completion
-                   >= big for s in chunkable):
-                K = big
-            await self._decode_chunk_step(loop, chunkable, K)
-            if rest:
-                await self._merged_step(loop, rest)
-            return
-        await self._merged_step(loop, active)
+        if self._spec is not None:
+            # Consume the in-flight chunk; in steady state the successor
+            # (covering every currently-chunkable row, including rows that
+            # finished prefill since the launch) goes out BEFORE the
+            # token download, so the host sync overlaps device compute.
+            await self._consume_chunk(loop, chunkable)
+        elif chunkable:
+            self._spec = await self._launch_chunk(
+                loop, chunkable, self._pick_k(chunkable))
+        if rest:
+            # Prefill and BNF rows take merged steps that overlap the
+            # in-flight decode chunk (the device runs them back to back;
+            # chunk rows ride along with length 0).
+            await self._merged_step(loop, rest)
 
     async def _merged_step(self, loop, rows) -> None:
         """One fixed-shape merged step over ``rows`` (prefill chunks +
@@ -555,70 +595,83 @@ class Runtime:
         Returns the in-flight record; the tokens stay on device until
         :meth:`_consume_chunk` fetches them.  ``first_device`` chains a
         speculative chunk from the previous chunk's device-resident last
-        tokens (no host round-trip between chunks)."""
+        tokens (no host round-trip between chunks); rows NOT in
+        ``first_device``'s covering set (newly joining the pipeline)
+        supply their first token from the host."""
         B = self.max_batch
         mask = np.zeros(B, np.bool_)
         for s in active:
             mask[s.index] = True
+        host_first = None
         if first_device is None:
             first = np.zeros(B, np.int32)
             for s in active:
                 first[s.index] = s.ctx.all_tokens[-1]
         else:
-            first = first_device
+            first = first_device["toks"]
+            joining = [s for s in active
+                       if s.index not in first_device["rows"]]
+            if joining:
+                hmask = np.zeros(B, np.bool_)
+                hvals = np.zeros(B, np.int32)
+                for s in joining:
+                    hmask[s.index] = True
+                    hvals[s.index] = s.ctx.all_tokens[-1]
+                host_first = (hmask, hvals)
         toks_seq, _sp = await loop.run_in_executor(
             None, lambda: self.engine.decode_chunk(
-                first, mask, K, sync=False))
-        return {"toks": toks_seq, "slots": list(active),
+                first, mask, K, sync=False, host_first=host_first))
+        return {"toks": toks_seq,
+                "entries": [(s, s.ctx) for s in active],
                 "rows": frozenset(s.index for s in active), "K": K,
                 "launched": time.monotonic()}
 
-    def _next_chunk_k(self, slots, k_prev):
-        """Chunk size for a speculative successor, assuming every row
-        accepts all ``k_prev`` tokens.  None = do not speculate (a LENGTH
-        stop is imminent; mis-guessing is only a perf matter — an invalid
-        speculative chunk is discarded wholesale)."""
+    def _pick_k(self, slots, consumed_rows=frozenset(), k_prev=0):
+        """Chunk size for the next decode chunk over ``slots``.  Rows in
+        ``consumed_rows`` are assumed to accept all ``k_prev`` tokens of
+        the chunk being consumed (speculative successor sizing).  The 4x
+        bucket applies only when every row has the budget AND no request
+        is waiting to join (new arrivals join at base-chunk granularity);
+        LENGTH stops landing mid-chunk are handled by per-row rollback."""
         base = self.decode_chunk_size
-        rems = [s.ctx.request.max_tokens - s.ctx.counter.completion - k_prev
+        big = base * 4
+        rems = [s.ctx.request.max_tokens - s.ctx.counter.completion
+                - (k_prev if s.index in consumed_rows else 0)
                 for s in slots]
-        if min(rems) < base:
-            return None
-        return base * 4 if min(rems) >= base * 4 else base
+        if (min(rems) >= big and not self.pending
+                and all(s.phase == _SlotPhase.DECODE for s in self.slots
+                        if s.ctx is not None)):
+            return big
+        return base
 
-    async def _decode_chunk_step(self, loop, active, K=None) -> None:
-        """Pipelined chunked decode.  First call launches a chunk and
-        returns (tokens stay on device); the next drive iteration
-        consumes it — and, in steady state, launches the successor chunk
-        BEFORE downloading, so the ~100 ms host sync overlaps the next
-        chunk's compute.  Any row stop/abort invalidates an in-flight
-        speculative chunk: ``engine.restore_last_chunk`` puts the state
-        pool and sampler state back to their exact pre-chunk snapshots,
-        then the usual per-row rollback applies (SURVEY §7 hard part
-        (b): the tunnel RTT, not the device, bounds short-chunk decode).
+    async def _consume_chunk(self, loop, chunkable) -> None:
+        """Consume the in-flight decode chunk (pipelined).
+
+        In steady state the successor chunk — over every currently-
+        chunkable row, not just the consumed chunk's rows — launches
+        BEFORE the token download, so the ~100 ms host sync overlaps the
+        next chunk's device compute.  Row stops/aborts are RESUMABLE for
+        everyone else: only the stopped row is restored (per-row, from
+        the right snapshot ring depth) and the successor keeps running
+        for the surviving rows; its tokens for the stopped row are
+        skipped at the next consume via ctx-identity tracking.
         """
-        K = K or self.decode_chunk_size
         spec = self._spec
         self._spec = None
-        rows = frozenset(s.index for s in active)
-        if spec is not None and not spec["rows"].issubset(rows):
-            # A spec row left the active set without being processed
-            # (defensive; finalize paths all run through consume).
-            await loop.run_in_executor(None, self.engine.restore_last_chunk)
-            spec = None
-        if spec is None:
-            self._spec = await self._launch_chunk(loop, active, K)
-            return
-        await self._consume_chunk(loop, spec, steady=(spec["rows"] == rows
-                                                      and not self.pending))
-
-    async def _consume_chunk(self, loop, spec, steady) -> None:
-        slots, K = spec["slots"], spec["K"]
+        K = spec["K"]
+        live = [(s, c) for (s, c) in spec["entries"] if s.ctx is c]
         newspec = None
-        if self._speculative and steady:
-            kn = self._next_chunk_k(slots, K)
-            if kn:
-                newspec = await self._launch_chunk(
-                    loop, slots, kn, first_device=spec["toks"][-1])
+        if self._speculative and chunkable and len(live) == len(
+                spec["entries"]) and spec["rows"].issubset(
+                    frozenset(s.index for s in chunkable)):
+            kn = self._pick_k(chunkable, spec["rows"], K)
+            newspec = await self._launch_chunk(
+                loop, chunkable, kn,
+                first_device={"toks": spec["toks"][-1],
+                              "rows": spec["rows"]})
+            # Record it NOW so a crash mid-processing rolls it back
+            # (_abandon_spec) instead of leaving a dangling chunk.
+            self._spec = newspec
         t0 = time.monotonic()
         toks_seq = await loop.run_in_executor(
             None, np.asarray, spec["toks"])
@@ -626,44 +679,48 @@ class Runtime:
         # Blocking time only: launch-to-consume spans overlap other work
         # (that's the point of the pipeline) and would double-count.
         self.metrics["step_seconds"] += time.monotonic() - t0
-        self.metrics["decode_tokens"] += len(slots) * K
+        self.metrics["decode_tokens"] += len(live) * K
 
-        async def discard_spec():
-            nonlocal newspec
-            if newspec is not None:
-                # The speculative chunk ran from a state this stop just
-                # invalidated: restore pool+sampler to the pre-spec
-                # snapshot (== exactly the accepted post-chunk state).
-                await loop.run_in_executor(
-                    None, self.engine.restore_last_chunk)
-                newspec = None
+        # Snapshot ring depth of THIS chunk's pre-state: the successor's
+        # launch pushed its own snapshot on top.
+        depth = -2 if newspec is not None else -1
 
-        for s in slots:
-            ctx = s.ctx
+        for s, ctx in live:
             b = s.index
             row = [int(t) for t in toks_seq[:, b]]
             if ctx.handle.aborted:
                 # All K tokens were consumed by the device state; record
-                # them so cache/resident keys stay honest (no rollback for
-                # a gone client).
-                await discard_spec()
+                # them so cache/resident keys stay honest.  With a
+                # successor in flight the row must still be restored to
+                # its post-chunk state (ring depth -1 == this chunk's
+                # output) so the resident state matches the books.
                 ctx.all_tokens.extend(row)
+                if newspec is not None:
+                    await loop.run_in_executor(
+                        None, self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, FinishReason.ABORT)
                 continue
             for j, token in enumerate(row):
                 reason = await self._postprocess_token(s, token)
                 if reason is None:
                     continue
-                await discard_spec()
                 if j < K - 1:
                     # Mid-chunk stop: the scan consumed row[:K-1] but the
-                    # request accepted only row[:j].  Restore the row from
-                    # the pre-chunk snapshot and re-feed the accepted
-                    # tokens so the resident state contains exactly the
-                    # emitted tokens (ref per-token semantics).
+                    # request accepted only row[:j].  Restore the row
+                    # from THIS chunk's pre-snapshot and re-feed the
+                    # accepted tokens so the resident state contains
+                    # exactly the emitted tokens (ref per-token
+                    # semantics).  Other rows keep their speculative
+                    # chunk — the stop invalidates only this row.
                     feed = ctx.all_tokens[-(j + 2):-1]
                     await loop.run_in_executor(
-                        None, self.engine.rollback_row, b, feed)
+                        None, self.engine.rollback_row, b, feed, depth)
+                elif newspec is not None:
+                    # Stop on the chunk's last token: the successor
+                    # advanced this row past its stop; put it back to
+                    # its post-chunk state.
+                    await loop.run_in_executor(
+                        None, self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, reason)
                 break
         self._spec = newspec
@@ -816,7 +873,8 @@ class Runtime:
             slot.phase = _SlotPhase.DECODE
             if ctx.formatter is not None:
                 eng.set_row_mask(b, ctx.formatter.allowed_mask())
-            token = eng.sample_only(b, exact_item.logits)
+            token = await asyncio.get_event_loop().run_in_executor(
+                None, eng.sample_only, b, exact_item.logits)
             await self._accept_token(slot, token)
         elif not ctx.remaining:
             # Cached state covers the whole prompt but without logits (e.g.
@@ -865,17 +923,40 @@ class Runtime:
             if ctx.remaining:
                 return  # still prefilling
             # Prefill done: cache the prompt state (run.rs:789-804).
+            # Non-blocking, like the finalize-path Back store: the
+            # device-side row copy is enqueued NOW (before any later pool
+            # write can race it); the multi-MB device->host transfer runs
+            # in a worker thread and the trie insert lands via a loop
+            # callback.  The synchronous form stalled the whole drive
+            # loop one RTT + transfer per completed prefill.
             if ctx.cache_future is not None and not ctx.prefill_cached:
-                state = self.engine.read_row_state(b)
-                item = CachedItem(
-                    state=state, logits=ctx.prefill_logits,
-                    tokens=ctx.prompt_tokens)
-                cache = self.cache_for(ctx.state_id)
-                cache.insert(ctx.prompt_tokens, item)
-                cache.maintain()
-                if not ctx.cache_future.done():
-                    ctx.cache_future.set_result(item)
                 ctx.prefill_cached = True
+                loop = asyncio.get_event_loop()
+                row = await loop.run_in_executor(
+                    None, self.engine.read_row_state_device, b)
+                cache = self.cache_for(ctx.state_id)
+                fut = loop.run_in_executor(
+                    None, lambda r=row: jax.tree.map(np.asarray, r))
+                self._cache_stores.add(fut)
+                cf = ctx.cache_future
+                logits = ctx.prefill_logits
+                key = ctx.prompt_tokens
+
+                def _store(f, cache=cache, cf=cf, logits=logits, key=key):
+                    self._cache_stores.discard(f)
+                    try:
+                        item = CachedItem(state=f.result(), logits=logits,
+                                          tokens=key)
+                        cache.insert(key, item)
+                        cache.maintain()
+                        if not cf.done():
+                            cf.set_result(item)
+                    except Exception:
+                        logger.exception("prefill cache store failed")
+                        if not cf.done():
+                            cf.set_result(None)
+
+                fut.add_done_callback(_store)
             if ctx.request.kind == GenerateKind.STATE:
                 await self._emit_state(slot)
                 return
@@ -943,7 +1024,8 @@ class Runtime:
         return stopped
 
     async def _emit_state(self, slot: _Slot) -> None:
-        state = self.engine.read_row_state(slot.index)
+        state = await asyncio.get_event_loop().run_in_executor(
+            None, self.engine.read_row_state, slot.index)
         await slot.ctx.handle.queue.put(("embed", state))
         await self._finalize(slot, FinishReason.STOP)
 

@@ -105,13 +105,20 @@ async def cors_middleware(request: web.Request, handler):
 async def bad_request_middleware(request: web.Request, handler):
     """Reject malformed request bodies with 400, like salvo's extractors
     (the reference returns 400 on schema/JSON parse failures; an aiohttp
-    handler would otherwise surface them as a 500 traceback)."""
+    handler would otherwise surface them as a 500 traceback).
+
+    Handlers set ``request["parsed"] = True`` once body extraction and
+    request construction are done; parse-class exceptions after that
+    point are genuine server bugs and propagate as 500s with a traceback
+    instead of masquerading as client errors."""
     try:
         return await handler(request)
     except web.HTTPException:
         raise
     except (json.JSONDecodeError, UnicodeDecodeError, KeyError, TypeError,
             ValueError) as e:
+        if request.get("parsed"):
+            raise
         return web.json_response(
             {"error": f"bad request: {type(e).__name__}: {e}"}, status=400)
 
@@ -323,6 +330,7 @@ class Server:
             bnf_schema=body.get("bnf_schema"),
             state_id=await self._resolve_state(env, body.get("state")),
         )
+        request["parsed"] = True
         if body.get("stream", False):
             return await self._stream_response(
                 request, env, req, "chat.completion.chunk",
@@ -359,6 +367,7 @@ class Server:
             bnf_schema=body.get("bnf_schema"),
             state_id=await self._resolve_state(env, body.get("state")),
         )
+        request["parsed"] = True
         if body.get("stream", False):
             return await self._stream_response(
                 request, env, req, "text_completion",
@@ -436,6 +445,7 @@ class Server:
             calibrate=bool(body.get("calibrate", False)),
             state_id=await self._resolve_state(env, body.get("state")),
         )
+        request["parsed"] = True
         handle = await env.runtime.submit(req)
         ppls = None
         async for msg in handle:
@@ -462,6 +472,7 @@ class Server:
             kind=GenerateKind.STATE,
             state_id=await self._resolve_state(env, body.get("state")),
         )
+        request["parsed"] = True
         handle = await env.runtime.submit(req)
         state, counter = None, None
         async for msg in handle:
@@ -512,6 +523,7 @@ class Server:
         body = await request.json()
         env = await self._env()
         inputs = [str(t) for t in _array(body.get("input"))]
+        request["parsed"] = True
         vecs = await self._embed_texts(env, inputs, body.get("state"))
         data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
                 for i, v in enumerate(vecs)]
