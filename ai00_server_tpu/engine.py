@@ -39,7 +39,9 @@ from .ops import sampling
 class StepResult:
     tokens: np.ndarray        # (B,) int32, valid where sample_mask
     sampled_probs: np.ndarray  # (B,) f32: prob of each sampled token
-    logits: np.ndarray | None  # (B, V) f32 raw logits (want_logits only)
+    # (B, V) f32 raw logits (want_logits only) — a DEVICE array; callers
+    # materialize rows lazily (the full download is multi-MB).
+    logits: object | None
 
 
 class Engine:
@@ -68,6 +70,17 @@ class Engine:
         self.vocab = model.info.num_vocab
         self.mesh = mesh
 
+        from .ops import quant as quant_mod
+
+        if quant_mod.use_int8_surrogate() \
+                and model.surrogate_modes is None:
+            # 4-bit models decode through int8 SURROGATE codes on TPU:
+            # identical dequantized values (both paths decode through the
+            # integer tables), int8-class speed at 2x the 4-bit HBM
+            # bytes.  AI00_NF4_DECODE=packed keeps true 4-bit streaming
+            # (halves weight memory).  Prefab export repacks losslessly.
+            model.surrogate_modes = quant_mod.surrogate_group(model.params)
+
         B, V = self.max_batch, self.vocab
         self.state_pool = self.module.init_state(self.info, B, state_dtype)
         self.sampler_state = sampling.init_sampler_state(B, V)
@@ -76,17 +89,28 @@ class Engine:
         self.mask_pool = jnp.ones((B, V), jnp.bool_)
 
         if mesh is None:
-            # Install the fused decode layout (one extra HBM copy of the
-            # layer weights) when the whole-network T=1 kernel is
-            # eligible — see ops/v{4,5,6,7}_decode_pallas.py.
+            # Install the fused decode layout (the small per-channel
+            # stacks; big projections pass through in their original
+            # layout) when either whole-network T=1 kernel applies: the
+            # fused kernel (ops/v{4,5,6,7}_decode_pallas.py) for models
+            # whose layer fits one VMEM window, or the phased whole-layer
+            # kernel (ops/v7_phased_pallas.py) for 7B-class models.
             from .ops import wkv as wkv_dispatch
             from .ops import fused_decode
 
             fd = fused_decode.module_for(model.info.version.value)
-            if (fd is not None
-                    and wkv_dispatch.fused_decode_mode() != "off"
-                    and fd.FUSED_KEY not in model.params
-                    and fd.can_fuse(model.params, batch=max_batch)):
+            eligible = (fd is not None
+                        and wkv_dispatch.fused_decode_mode() != "off"
+                        and fd.FUSED_KEY not in model.params
+                        and fd.can_fuse(model.params, batch=max_batch))
+            if not eligible and fd is not None \
+                    and model.info.version.value == "V7" \
+                    and fd.FUSED_KEY not in model.params \
+                    and wkv_dispatch.phased_decode_mode() != "off":
+                from .ops import v7_phased_pallas as pdk
+
+                eligible = pdk.can_phase(model.params, batch=max_batch)
+            if eligible:
                 model.params[fd.FUSED_KEY] = fd.make_fused_layout(
                     model.params)
 
@@ -104,6 +128,7 @@ class Engine:
             self.mask_pool = jax.device_put(
                 self.mask_pool, NamedSharding(mesh, P("dp", None)))
         self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
+        self.bias_active = np.zeros(B, np.bool_)  # rows with a logit bias
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._lock = threading.Lock()
         self._prewarm_cancelled = False
@@ -124,7 +149,11 @@ class Engine:
     # ------------------------------------------------------------------
 
     def fresh_row_state(self):
-        """A batch-1 initial state (embedded time_state applied if any)."""
+        """A batch-1 initial state (embedded time_state applied if any).
+        Cached: _write_row never donates the row argument, so the same
+        device arrays serve every admission without re-allocating."""
+        if getattr(self, "_fresh_row_cache", None) is not None:
+            return self._fresh_row_cache
         s = self.module.init_state(self.info, 1, self.state_dtype)
         if self.model.init_wkv is not None and "wkv" in s:
             wkv = jnp.asarray(self.model.init_wkv, self.state_dtype)
@@ -132,6 +161,7 @@ class Engine:
                 # v7 state is (v-dim, k-dim); files store (k, v).
                 wkv = jnp.swapaxes(wkv, -1, -2)
             s["wkv"] = wkv[:, None]
+        self._fresh_row_cache = s
         return s
 
     @functools.cached_property
@@ -196,15 +226,38 @@ class Engine:
             self.sampler_state, jnp.asarray(pen), jnp.asarray(seen),
             jnp.float32(ms0), jnp.int32(b))
 
+    def set_row_sampler_state(self, b: int, pen: np.ndarray,
+                              seen: np.ndarray) -> None:
+        """Overwrite row ``b``'s penalty/seen sampler state (host-rebuilt
+        after a BNF mask mis-speculation; the penalty recurrence is a
+        pure function of the accepted token sequence, nucleus.rs:104-117).
+        max_surprise resets to its init value (mirostat rows never take
+        the BNF chunk path)."""
+        with self._lock:
+            ms0 = 2.0 * float(self.sampler_params_host["miro_tau"][b])
+            self.sampler_state = _set_sampler_row(
+                self.sampler_state, jnp.asarray(pen, jnp.float32),
+                jnp.asarray(seen, jnp.bool_), jnp.float32(ms0),
+                jnp.int32(b))
+
     def set_row_bias(self, b: int, bias: np.ndarray | None) -> None:
-        vec = np.zeros(self.vocab, np.float32) if bias is None else bias
+        if bias is None:
+            if not self.bias_active[b]:
+                return  # row already zero: skip the (V,) upload
+            self.bias_active[b] = False
+            vec = np.zeros(self.vocab, np.float32)
+        else:
+            self.bias_active[b] = True
+            vec = bias
         self.bias_pool = _set_pool_row(
             self.bias_pool, jnp.asarray(vec, jnp.float32), jnp.int32(b))
 
     def set_row_mask(self, b: int, allowed: np.ndarray | None) -> None:
         if allowed is None:
-            vec = np.ones(self.vocab, np.bool_)
+            if not self.mask_active[b]:
+                return  # row already all-ones: skip the upload
             self.mask_active[b] = False
+            vec = np.ones(self.vocab, np.bool_)
         else:
             vec = allowed.astype(np.bool_)
             self.mask_active[b] = True
@@ -216,9 +269,12 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _sampler_key(self):
-        """Static compile key for the sampler: (kinds present, top-k cap)."""
+        """Static compile key for the sampler: (kinds present, top-k cap).
+        A row requesting top_k > TOP_K_CAP or 0 selects the full-vocab
+        bucket (exact arbitrary-k fidelity, nucleus.rs:69-134)."""
         return (sampling.kinds_key(self.sampler_params_host["kind"]),
-                sampling.k_cap_key(self.sampler_params_host["top_k"]))
+                sampling.k_cap_key(self.sampler_params_host["top_k"],
+                                   self.vocab))
 
     def _get_step(self, T: int, want_logits: bool, skey):
         key = (T, want_logits, skey)
@@ -281,7 +337,10 @@ class Engine:
             return StepResult(
                 tokens=np.asarray(toks),
                 sampled_probs=np.asarray(sp),
-                logits=np.asarray(logits) if logits is not None else None,
+                # Device array: the (B, V) prompt-end logits are multi-MB
+                # through the tunnel; callers materialize the rows they
+                # need off the critical path (runtime._merged_step).
+                logits=logits,
             )
 
     def _sparams(self):
@@ -303,12 +362,32 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def decode_scan(params, state, sampler_state, first_tokens,
-                            active, sparams, bias, mask, rng):
+                            ctrl, sparams, bias, mask, rng):
+                """ONE dispatch per chunk: the control vector packs
+                (active, budget, host-first mask, host-first values), the
+                rng chain advances inside, and the pre-chunk snapshots
+                come back as outputs — the launch path pays a single
+                host->device call instead of ~8 (each ~20 ms through the
+                device link)."""
+                active = ctrl[0] > 0
+                budget = ctrl[1]
+                first_tokens = jnp.where(ctrl[2] > 0, ctrl[3], first_tokens)
                 B = first_tokens.shape[0]
-                lengths = jnp.where(active, 1, 0).astype(jnp.int32)
+                rng, sub = jax.random.split(rng)
+                # Pre-chunk snapshots (device copies; XLA allocates fresh
+                # buffers because the donated inputs also flow to the
+                # updated outputs).
+                snap_state = jax.tree.map(lambda x: x + 0, state)
+                snap_ss = jax.tree.map(lambda x: x, sampler_state)
 
-                def body(carry, rng_t):
+                def body(carry, xs):
                     state, ss, toks = carry
+                    rng_t, i = xs
+                    # Per-step activity: a row freezes once it has drawn
+                    # ``budget`` tokens this chunk, so a LENGTH stop can
+                    # never over-consume state (no rollback needed).
+                    act_t = jnp.logical_and(active, i < budget)
+                    lengths = jnp.where(act_t, 1, 0).astype(jnp.int32)
                     hidden, state = module.forward(
                         params, state, toks[:, None], lengths)
                     logits = jnp.dot(
@@ -321,16 +400,17 @@ class Engine:
                         k_cap=k_cap)
                     ss2 = jax.tree.map(
                         lambda new, old: jnp.where(
-                            active.reshape((-1,) + (1,) * (new.ndim - 1)),
+                            act_t.reshape((-1,) + (1,) * (new.ndim - 1)),
                             new, old),
                         ss2, ss)
-                    t2 = jnp.where(active, t2, toks)
+                    t2 = jnp.where(act_t, t2, toks)
                     return (state, ss2, t2), (t2, sp)
 
-                rngs = jax.random.split(rng, K)
+                rngs = jax.random.split(sub, K)
                 (state, ss, _), (toks_seq, sp_seq) = jax.lax.scan(
-                    body, (state, sampler_state, first_tokens), rngs)
-                return toks_seq, sp_seq, state, ss
+                    body, (state, sampler_state, first_tokens),
+                    (rngs, jnp.arange(K, dtype=jnp.int32)))
+                return toks_seq, sp_seq, state, ss, snap_state, snap_ss, rng
 
             fn = decode_scan
             self._decode_scans[(K, skey)] = fn
@@ -338,7 +418,8 @@ class Engine:
 
     def decode_chunk(self, first_tokens: np.ndarray, active: np.ndarray,
                      steps: int, sync: bool = True, snapshot: bool = True,
-                     host_first: tuple | None = None):
+                     host_first: tuple | None = None,
+                     budget: np.ndarray | None = None):
         """Decode ``steps`` tokens for all ``active`` rows in ONE device
         dispatch (a ``lax.scan`` feeding each sampled token back in).
 
@@ -363,25 +444,33 @@ class Engine:
         set: rows newly joining a chained speculative pipeline supply
         their first token from the host while continuing rows chain from
         the previous chunk's device-resident last tokens.
+
+        ``budget`` (B,) int32 freezes each row after it has drawn that
+        many tokens this chunk (state, sampler state, and token output
+        stop advancing), so a row whose max_tokens budget is smaller than
+        ``steps`` never over-consumes — a LENGTH stop needs no rollback.
         """
         with self._lock:
-            self._rng, sub = jax.random.split(self._rng)
             fn = self._get_decode_scan(steps, self._sampler_key())
-            if steps > 1 and snapshot:
-                self._chunk_snaps.append(
-                    (jax.tree.map(jnp.copy, self.state_pool),
-                     jax.tree.map(jnp.copy, self.sampler_state)))
-                del self._chunk_snaps[:-2]
-            first = jnp.asarray(first_tokens, jnp.int32)
+            B = self.max_batch
+            if budget is None:
+                budget = np.full(B, steps, np.int32)
+            ctrl = np.zeros((4, B), np.int32)
+            ctrl[0] = np.asarray(active, np.int32)
+            ctrl[1] = budget
             if host_first is not None:
                 hmask, hvals = host_first
-                first = jnp.where(jnp.asarray(hmask, jnp.bool_),
-                                  jnp.asarray(hvals, jnp.int32), first)
-            toks_seq, sp_seq, self.state_pool, self.sampler_state = fn(
+                ctrl[2] = np.asarray(hmask, np.int32)
+                ctrl[3] = hvals
+            first = first_tokens if hasattr(first_tokens, "devices")                 else jnp.asarray(np.asarray(first_tokens, np.int32))
+            (toks_seq, sp_seq, self.state_pool, self.sampler_state,
+             snap_state, snap_ss, self._rng) = fn(
                 self.model.params, self.state_pool, self.sampler_state,
-                first,
-                jnp.asarray(active, jnp.bool_),
-                self._sparams(), self.bias_pool, self.mask_pool, sub)
+                first, jnp.asarray(ctrl),
+                self._sparams(), self.bias_pool, self.mask_pool, self._rng)
+            if steps > 1 and snapshot:
+                self._chunk_snaps.append((snap_state, snap_ss))
+                del self._chunk_snaps[:-2]
             # Only the tokens cross to the host; the probs stay on device
             # (the chunk path never reads them, and the transfer is on the
             # critical path of every decode dispatch).

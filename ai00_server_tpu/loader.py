@@ -227,6 +227,10 @@ class LoadedModel:
     info: ModelInfo
     params: dict                       # forward pytree
     init_wkv: np.ndarray | None = None  # embedded time_state, or None
+    # {dotted path under params: original 4-bit mode} for leaves the
+    # engine converted to int8 SURROGATE codes for decode speed
+    # (ops/quant.use_int8_surrogate); prefab export repacks them.
+    surrogate_modes: dict | None = None
 
 
 def load_model(

@@ -202,14 +202,25 @@ def forward(params, state, tokens, lengths):
         # T=1 decode: the fused whole-network Pallas kernel collapses
         # ~50 XLA ops/layer into one op with double-buffered weight DMA
         # (ops/v7_decode_pallas.py).  The engine installs the fused
-        # weight layout at load when eligible.
+        # weight layout at load when eligible.  Models too large for
+        # whole-layer VMEM windows (7B-class) take the phased whole-layer
+        # kernel instead (K-tiled windows, ops/v7_phased_pallas.py).
         from ..ops import wkv as wkv_dispatch
         from ..ops import v7_decode_pallas as fd
 
         mode = wkv_dispatch.fused_decode_mode()
         if mode != "off" and fd.supports(params):
-            return fd.forward_t1(params, state, tokens, lengths,
-                                 interpret=(mode == "interpret"))
+            B = tokens.shape[0]
+            if fd.can_fuse(params, batch=B):
+                return fd.forward_t1(params, state, tokens, lengths,
+                                     interpret=(mode == "interpret"))
+            from ..ops import v7_phased_pallas as pd
+
+            pmode = wkv_dispatch.phased_decode_mode()
+            if pmode != "off" and pd.can_phase(params, batch=B):
+                return pd.forward_t1(
+                    params, state, tokens, lengths,
+                    interpret=(pmode == "interpret"))
     x = params["emb"][tokens]  # ln0 folded into emb at load
     B, T, C = x.shape
     v_first = jnp.zeros_like(x)

@@ -290,6 +290,98 @@ class QuantizedLayerView:
         return QuantizedLinear(qlin.mode, q_l, s_l, qlin.shape).matmul(x)
 
 
+def use_int8_surrogate() -> bool:
+    """Whether 4-bit models decode through int8 SURROGATE codes.
+
+    The packed 4-bit Pallas decode is VPU-bound (~13 ops/element, 123-135
+    GB/s int4-equivalent — BASELINE.md), so NF4/SF4 decode ran ~1.7x
+    SLOWER than int8 despite half the HBM traffic.  The surrogate stores
+    ``table8[code]`` as int8 codes with the same per-64-row-block scales:
+    dequantized values are BIT-IDENTICAL to the packed path (both decode
+    through the integer tables), but the decode becomes a plain int8
+    convert that fuses into the matmul — int8-class speed at 2x the
+    4-bit HBM bytes.  Default on TPU; AI00_NF4_DECODE=packed keeps the
+    true 4-bit streaming path (halves weight memory, for models that
+    would not otherwise fit).
+    """
+    import os
+
+    mode = os.environ.get("AI00_NF4_DECODE", "auto")
+    if mode in ("surrogate", "packed"):
+        return mode == "surrogate"
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def to_int8_surrogate(qlin: QuantizedLinear) -> QuantizedLinear:
+    """nf4/sf4 -> int8 surrogate: codes become ``table8[nibble]`` int8
+    values (exactly the packed path's decode levels), scales unchanged
+    (per-64-row block).  Runs on device, layer by layer, so the temporary
+    unpack never exceeds one layer's footprint."""
+    assert qlin.mode in ("nf4", "sf4"), qlin.mode
+    table = NF4_TABLE8 if qlin.mode == "nf4" else SF4_TABLE8  # host ints
+
+    def conv(q):
+        lo = (q & 0x0F).astype(jnp.int32)
+        hi = (q >> 4).astype(jnp.int32)
+        codes = jnp.concatenate([lo, hi], axis=-2)  # (nb, BLOCK, out)
+        # 16-entry lookup without gather: 4-level select tree on the
+        # nibble bits (XLA fuses this into one elementwise pass).
+        v = jnp.zeros(codes.shape, jnp.int32)
+        for i in range(16):
+            v = jnp.where(codes == i, int(table[i]), v)
+        return v.astype(jnp.int8)
+
+    if qlin.q.ndim == 4:  # stacked (L, nb, BLOCK/2, out)
+        q8 = jax.lax.map(conv, qlin.q)
+    else:
+        q8 = conv(qlin.q)
+    return QuantizedLinear("int8", q8, qlin.scale, qlin.shape)
+
+
+def repack_surrogate(q8: np.ndarray, scale: np.ndarray, mode: str,
+                     shape) -> QuantizedLinear:
+    """Invert :func:`to_int8_surrogate` exactly (host-side, for prefab
+    export): surrogate int8 values are distinct table levels, so the
+    nibbles recover losslessly."""
+    table8 = NF4_TABLE8 if mode == "nf4" else SF4_TABLE8
+    order = np.argsort(table8)
+    codes = order[np.searchsorted(table8[order],
+                                  q8.astype(np.int32))].astype(np.uint8)
+    half = codes.shape[-2] // 2
+    lo = codes[..., :half, :]
+    hi = codes[..., half:, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return QuantizedLinear(mode, packed, scale, shape)
+
+
+def surrogate_group(layers: dict) -> dict:
+    """Replace every nf4/sf4 leaf in a stacked layer-group pytree with its
+    int8 surrogate.  Returns {dotted-path: original mode} for the leaves
+    converted (prefab export repacks them, prefab.py)."""
+    converted = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                r = walk(v, path + (k,))
+                if r is not None:
+                    node[k] = r
+            return None
+        if isinstance(node, list):
+            for i, v in enumerate(node):
+                r = walk(v, path + (i,))
+                if r is not None:
+                    node[i] = r
+            return None
+        if isinstance(node, QuantizedLinear) and node.mode in ("nf4", "sf4"):
+            converted[".".join(map(str, path))] = node.mode
+            return to_int8_surrogate(node)
+        return None
+
+    walk(layers, ())
+    return converted
+
+
 def hoist_quantized(layers: dict):
     """Split a stacked layer-group pytree for a layer ``scan``.
 

@@ -37,9 +37,12 @@ KIND_TYPICAL = 1
 KIND_MIROSTAT = 2
 KIND_GREEDY = 3
 
-# Static top-k width for the on-device sort.  Per-row `top_k` params mask
-# positions beyond their own k; requests asking for more than this are
-# clamped (the reference default is 128).
+# Static top-k width for the on-device sort FAST PATH.  Per-row `top_k`
+# params mask positions beyond their own k (the reference default is
+# 128).  Requests asking for top_k > TOP_K_CAP or top_k = 0 (unbounded)
+# compile a FULL-VOCAB bucket instead (k_cap = V: a complete on-device
+# sort per step, matching the reference's arbitrary-k CPU radix sort,
+# nucleus.rs:69-134, at extra step cost for those requests only).
 TOP_K_CAP = 1024
 
 # Reference defaults (nucleus.rs:13-27, typical.rs:14-27, mirostat.rs:10-18).
@@ -116,10 +119,11 @@ def transform_logits(logits, state, bias=None, allowed_mask=None):
 
 
 def _topk_cut_sample(probs_sorted, rand, cut_param, top_k, temperature):
-    """Shared nucleus/typical machinery on an already-ranked (K,) prob row."""
+    """Shared nucleus/typical machinery on an already-ranked (K,) prob
+    row.  ``top_k <= 0`` means unbounded (no positional cut)."""
     cum_before = jnp.cumsum(probs_sorted) - probs_sorted
     pos = jnp.arange(probs_sorted.shape[0], dtype=jnp.int32)
-    keep = (cum_before <= cut_param) & (pos < top_k)
+    keep = (cum_before <= cut_param) & ((top_k <= 0) | (pos < top_k))
     t = jnp.maximum(temperature, 1e-4)
     w = jnp.where(keep, jnp.power(jnp.maximum(probs_sorted, 1e-38), 1.0 / t), 0.0)
     total = jnp.sum(w)
@@ -129,13 +133,14 @@ def _topk_cut_sample(probs_sorted, rand, cut_param, top_k, temperature):
     return first_hit
 
 
-def _typical_row(probs, rand, p):
+def _typical_row(probs, rand, p, k_cap=None):
     logp = jnp.log(jnp.maximum(probs, 1e-38))
     entropy = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0))
     # Rank by |(-ln p) - entropy| ascending == top_k of the negated score.
     score = -jnp.abs(-logp - entropy)
     score = jnp.where(probs > 0, score, -jnp.inf)
-    _, idx = jax.lax.top_k(score, min(TOP_K_CAP, probs.shape[0]))
+    K = min(int(k_cap or TOP_K_CAP), probs.shape[0])
+    _, idx = jax.lax.top_k(score, K)
     vals = probs[idx]
     sel = _topk_cut_sample(vals, rand, p["tau"], p["top_k"], p["temperature"])
     return idx[sel]
@@ -228,7 +233,7 @@ def sample_with_rand(rand, logits, params, state, bias=None,
     if KIND_TYPICAL in kinds:
         def typ_row(probs_b, rand_b, p):
             return _typical_row(probs_b, rand_b,
-                                {**p, "tau": p["top_p"]})
+                                {**p, "tau": p["top_p"]}, k_cap=K)
 
         typ = jax.vmap(typ_row)(probs_full, rand, pb)
         tokens = jnp.where(pb["kind"] == KIND_TYPICAL, typ, tokens)
@@ -269,9 +274,15 @@ def kinds_key(kind_array) -> tuple:
     return tuple(sorted({int(k) for k in kind_array}))
 
 
-def k_cap_key(top_k_array) -> int:
-    """Static top-k width bucket (powers of two from 128 to TOP_K_CAP)."""
-    need = int(max(1, min(TOP_K_CAP, max(int(k) for k in top_k_array))))
+def k_cap_key(top_k_array, vocab: int | None = None) -> int:
+    """Static top-k width bucket: powers of two from 128 to TOP_K_CAP
+    for the fast path; the FULL VOCAB when any row asks for top_k beyond
+    the cap or 0 (= unbounded) — reference fidelity over arbitrary k
+    (nucleus.rs:69-134) at a full on-device sort for that bucket."""
+    ks = [int(k) for k in top_k_array]
+    if vocab and any(k <= 0 or k > TOP_K_CAP for k in ks):
+        return vocab
+    need = int(max(1, min(TOP_K_CAP, max(ks))))
     cap = 128
     while cap < need:
         cap *= 2

@@ -1,0 +1,540 @@
+"""Phased whole-layer single-token (T=1) decode kernel for RWKV v7.
+
+The fused whole-network kernel (v7_decode_pallas.py) holds a full layer's
+weights in one double-buffered VMEM window — impossible for 7B-class
+models (>60 MB/layer even int8).  This kernel keeps the ONE-Pallas-op
+structure (so the ~45 XLA ops/layer x 32 layers of fixed issue cost
+disappear) but adds a second grid dimension of K-TILED WEIGHT WINDOWS:
+
+    grid = (L, 12*na + ng)   # na tiles per CxC matrix, 4*na per ffn
+                             # matrix, ng = H/8 head-group state steps
+
+    w in [0,    na): r_acc += xr[:, tile] @ Wr[tile]      (K-tiled)
+    w in [na,  2na): k_acc += xk[:, tile] @ Wk[tile]
+    w in [2na, 3na): v_acc += xv[:, tile] @ Wv[tile]
+    w in [3na, 3na+ng): WKV + GroupNorm + bonus, 8 heads per step —
+                     the (B, Hc, N, N) state window streams per group,
+                     so the state never needs whole-layer VMEM
+    w in [.., +na): o_acc += (yf*g)[:, tile] @ Wo[tile]
+    w == 4na+ng    : x += o_acc; ln2 -> fxk
+    w in [.., +4na): hk_acc += fxk[:, tile] @ fkey[tile]
+    w == 8na+ng    : hk = relu(hk_acc)^2
+    w in [.., +4na): f_acc += hk[:, tile] @ fval[tile]
+    last           : x += f_acc
+
+Each weight matrix is its own input whose BlockSpec index map CLAMPS to
+its active range, so a window is fetched exactly once per layer and the
+Pallas pipeline double-buffers the next window's HBM->VMEM DMA under the
+current tile's compute.  Weights stream at their stored width (bf16, or
+int8 codes + per-block scales applied to the sub-dot accumulators); the
+total HBM traffic per step is exactly the stored model bytes plus one
+state read+write, which is the decode speed-of-light.
+
+Consumes the SAME ``params[FUSED_KEY]`` layout as the fused kernel (the
+big projections are passed through in their original stacked layout; see
+v7_decode_pallas.make_fused_layout), so the engine installs one layout
+and picks the kernel by size.  Reference capability: single-token decode
+of ``Runtime::infer`` (crates/ai00-core/src/run.rs:1120-1156) for
+quantized 7B-class models (``Quant::Int8``, reload.rs:23-27).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.common import GN_EPS, LN_EPS
+from .v7_decode_pallas import (
+    FUSED_KEY, W_SCALE, _BIG_SRC, _VEC_IDX, _ln,
+)
+
+# Small per-layer arrays fetched whole once per layer (index map constant
+# in w).  Same entries as the fused kernel minus the big projections.
+_SMALL_KEYS = [
+    "mix", "w1", "a1", "v1", "g1", "w2", "a2", "v2", "g2",
+    "vecs", "ln1", "ln2", "fmix",
+]
+_ATT = ("Wr", "Wk", "Wv", "Wo")
+_FFN = ("fkey", "fval")
+
+
+def _geometry(params):
+    from . import fused_decode as fdc
+
+    layers = params["groups"][0]["layers"]
+    mode = fdc.group_mode(layers, _BIG_SRC)
+    att = layers["att"]
+    H, N = att["r_k"].shape[-2:]
+    C = att["receptance"].shape[-2]
+    ffn_key = layers["ffn"]["key"]
+    F = ffn_key.shape[-1]
+    return mode, C, F, H, N
+
+
+HEAD_GROUP = 8  # heads per WKV grid step (state window = B*8*N*N f32)
+
+
+def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
+    """Smallest tile count whose windows satisfy alignment and fit the
+    VMEM budget; None if impossible.  Constraints: Kt = C/na, Ktf =
+    C/(4na), Ktv = F/(4na) all positive multiples of 128 (lane/quant
+    block alignment).  Budget terms: 6 double-buffered weight windows,
+    4x-buffered per-head-group wkv windows, double-buffered per-layer
+    smalls, f32 scratch."""
+    hc = min(HEAD_GROUP, H)
+    smalls = 2 * ((6 * C + 4 * C + C) * esize + (8 * C + 4 * C) * 4
+                  + 8 * C * 128 * esize)
+    scratch = (12 * batch * C + batch * F + 5 * batch * C) * 4
+    state = 4 * batch * hc * N * N * 4 + 8 * batch * C * 4
+    for na in range(1, 33):
+        if C % na or (C // na) % 128:
+            continue
+        if C % (4 * na) or (C // (4 * na)) % 128:
+            continue
+        if F % (4 * na) or (F // (4 * na)) % 128:
+            continue
+        win = (C * C // na) * esize
+        need = state + 12 * win + smalls + scratch
+        if need <= max_bytes:
+            return na
+    return None
+
+
+def can_phase(params, batch: int, na: int | None = None) -> bool:
+    """Whether the phased kernel applies: one layer group, big
+    projections plain or uniformly int8 (4-bit models convert to int8
+    surrogate codes at load for decode, ops/quant.py), square C = H*N,
+    and a tile count exists whose windows align and fit VMEM."""
+    if len(params["groups"]) != 1:
+        return False
+    mode, C, F, H, N = _geometry(params)
+    if mode not in ("none", "int8"):
+        return False
+    if C != H * N or N % 8 != 0:
+        return False
+    esize = 1 if mode == "int8" else 2
+    found = pick_na(C, F, H, N, batch, esize)
+    if found is None:
+        return False
+    return na is None or _na_ok(C, F, na)
+
+
+def _na_ok(C, F, na):
+    return not (C % na or (C // na) % 128 or C % (4 * na)
+                or (C // (4 * na)) % 128 or F % (4 * na)
+                or (F // (4 * na)) % 128)
+
+
+def _acc_add(ref, val, first):
+    @pl.when(first)
+    def _():
+        ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] = ref[:] + val
+
+
+def _tiled_dot(x_scr, off, Kt, w_ref, s_ref, cd):
+    """x[:, off:off+Kt] @ window, dequantizing int8 sub-blocks against
+    their per-(block, out) scales on the accumulator."""
+    x = x_scr[:]
+    xt = jax.lax.dynamic_slice(x, (0, off), (x.shape[0], Kt))
+    if s_ref is None:
+        win = w_ref[0]                      # (Kt, out)
+        return jnp.dot(xt.astype(cd), win.astype(cd),
+                       preferred_element_type=jnp.float32)
+    nb = w_ref.shape[1]
+    blk = w_ref.shape[2]
+    out = w_ref.shape[3]
+    acc = jnp.zeros((x.shape[0], out), jnp.float32)
+    for j in range(nb):
+        xj = jax.lax.dynamic_slice(xt, (0, j * blk), (x.shape[0], blk))
+        part = jnp.dot(xj.astype(cd), w_ref[0, j].astype(cd),
+                       preferred_element_type=jnp.float32)
+        acc = acc + part * s_ref[0, j]
+    return acc
+
+
+def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
+    nf = 4 * na
+    ng = H // Hc
+
+    def kernel(*refs):
+        (x0_ref, active_ref, att_x_ref, wkv_ref, ffn_x_ref) = refs[:5]
+        idx = 5
+        small = {}
+        for k in _SMALL_KEYS:
+            small[k] = refs[idx]
+            idx += 1
+        big = {}
+        for k in _ATT + _FFN:
+            big[k] = refs[idx]
+            idx += 1
+            if qmode == "int8":
+                big[k + "_s"] = refs[idx]
+                idx += 1
+        (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
+        (x_scr, vf_scr, xr_scr, xk_scr, xv_scr, yg_scr, racc, kacc, vacc,
+         oacc, hk_scr, kk_scr, aux_scr) = refs[idx + 4:]
+
+        l = pl.program_id(0)
+        w = pl.program_id(1)
+        cd = compute_dtype
+        active = active_ref[:] > 0                    # (B, 1)
+        B = x0_ref.shape[0]
+        C = H * N
+        Kt = C // na
+        Ktf = C // nf
+        Ktv = F // nf
+
+        def vec(name):
+            i = _VEC_IDX[name]
+            return small["vecs"][0][i:i + 1]
+
+        def sref(name):
+            return big.get(name + "_s") if qmode == "int8" else None
+
+        # ---- layer entry: ln1, token-shift mixes, lora branches ----
+        @pl.when(w == 0)
+        def _():
+            @pl.when(l == 0)
+            def _():
+                x_scr[:] = x0_ref[:].astype(jnp.float32)
+
+            x = x_scr[:]
+            ln1w = small["ln1"][0]
+            ln1 = _ln(x, ln1w[0:1], ln1w[1:2], LN_EPS)
+            prev = att_x_ref[0].astype(jnp.float32)
+            xa_in = ln1.astype(cd)
+            dx = (prev - ln1).astype(cd)
+            mix = small["mix"][0]                     # (6, C)
+            xr_scr[:] = (xa_in + dx * mix[0:1].astype(cd)).astype(jnp.float32)
+            xw = xa_in + dx * mix[1:2].astype(cd)
+            xk_scr[:] = (xa_in + dx * mix[2:3].astype(cd)).astype(jnp.float32)
+            xv = xa_in + dx * mix[3:4].astype(cd)
+            xv_scr[:] = xv.astype(jnp.float32)
+            xaa = xa_in + dx * mix[4:5].astype(cd)
+            xg = xa_in + dx * mix[5:6].astype(cd)
+
+            def dot(a, b):
+                return jnp.dot(a, b.astype(cd),
+                               preferred_element_type=jnp.float32)
+
+            # Small lora dots (C x 64-128): wdec, a, g, vmix.
+            hw = jnp.tanh(dot(xw, small["w1"][0])).astype(cd)
+            wdec = jnp.exp(-W_SCALE * jax.nn.sigmoid(
+                vec("w0") + dot(hw, small["w2"][0])))
+            ha = dot(xaa, small["a1"][0]).astype(cd)
+            a = jax.nn.sigmoid(vec("a0") + dot(ha, small["a2"][0]))
+            a = a.astype(cd).astype(jnp.float32)
+            hg = jax.nn.sigmoid(dot(xg, small["g1"][0])).astype(cd)
+            g = dot(hg, small["g2"][0])
+            hv = dot(xv, small["v1"][0]).astype(cd)
+            vmix = jax.nn.sigmoid(vec("v0") + dot(hv, small["v2"][0]))
+            vmix = vmix.astype(cd).astype(jnp.float32)
+            # aux rows: 0 wdec, 1 a, 2 g, 3 vmix, 4 ln1 (for att_x update)
+            aux_scr[0] = wdec
+            aux_scr[1] = a
+            aux_scr[2] = g
+            aux_scr[3] = vmix
+            aux_scr[4] = ln1
+
+        # ---- att projection tiles ----
+        @pl.when(w < na)
+        def _():
+            part = _tiled_dot(xr_scr, w * Kt, Kt, big["Wr"], sref("Wr"), cd)
+            _acc_add(racc, part, w == 0)
+
+        @pl.when(jnp.logical_and(w >= na, w < 2 * na))
+        def _():
+            t = w - na
+            part = _tiled_dot(xk_scr, t * Kt, Kt, big["Wk"], sref("Wk"), cd)
+            _acc_add(kacc, part, t == 0)
+
+        @pl.when(jnp.logical_and(w >= 2 * na, w < 3 * na))
+        def _():
+            t = w - 2 * na
+            part = _tiled_dot(xv_scr, t * Kt, Kt, big["Wv"], sref("Wv"), cd)
+            _acc_add(vacc, part, t == 0)
+
+        # ---- WKV prologue (once, before the first head-group step) ----
+        @pl.when(w == 3 * na)
+        def _():
+            k = kacc[:].astype(cd).astype(jnp.float32)
+            v = vacc[:].astype(cd).astype(jnp.float32)
+            a = aux_scr[1]
+            vmix = aux_scr[3]
+            kk_full = k * vec("k_k")
+            k2 = k * (1.0 + (a - 1.0) * vec("k_a"))
+
+            is_first = l == 0
+
+            @pl.when(is_first)
+            def _():
+                vf_scr[:] = v
+
+            v2 = jnp.where(is_first, v, v + (vf_scr[:] - v) * vmix)
+
+            aux_scr[0] = jnp.where(active, aux_scr[0], 1.0)  # wdec masked
+            kk_scr[:] = jnp.where(active, kk_full, 0.0)
+            kacc[:] = jnp.where(active, k2, 0.0)  # k2 (masked) over k
+            vacc[:] = v2
+            # bonus r*k2*r_k (uses the UNMASKED k2, matching the generic
+            # path's discarded inactive-row output).
+            aux_scr[3] = racc[:].astype(cd).astype(jnp.float32) \
+                * k2 * vec("r_k")
+            natt_x_ref[0] = jnp.where(active, aux_scr[4],
+                                      att_x_ref[0].astype(jnp.float32)
+                                      ).astype(natt_x_ref.dtype)
+
+        # ---- WKV + GroupNorm + bonus, one head GROUP per step: the
+        # (B, Hc, N, N) state window streams per group, so whole-layer
+        # state VMEM is never needed ----
+        for g in range(ng):
+            @pl.when(w == 3 * na + g)
+            def _(g=g):
+                r = racc[:].astype(cd).astype(jnp.float32)
+                wdec = aux_scr[0]
+                a = aux_scr[1]
+                rk = aux_scr[3]
+                v2 = vacc[:]
+                k2m = kacc[:]
+                for hh in range(Hc):
+                    h = g * Hc + hh
+                    sl = slice(h * N, (h + 1) * N)
+                    kk_h = kk_scr[:, sl]
+                    kk_h = kk_h / jnp.maximum(
+                        jnp.sqrt(jnp.sum(kk_h * kk_h, axis=-1,
+                                         keepdims=True)), 1e-12)
+                    kk_h = kk_h.astype(cd).astype(jnp.float32)
+                    s = wkv_ref[0][:, hh]             # (B, N, N) f32
+                    skk = jnp.sum(s * kk_h[:, None, :], axis=-1)
+                    s_new = (s * wdec[:, sl][:, None, :]
+                             - skk[:, :, None]
+                             * (kk_h * a[:, sl])[:, None, :]
+                             + v2[:, sl][:, :, None]
+                             * k2m[:, sl][:, None, :])
+                    nwkv_ref[0, :, hh] = s_new.astype(nwkv_ref.dtype)
+                    y_h = jnp.sum(s_new * r[:, sl][:, None, :], axis=-1)
+                    mean = jnp.mean(y_h, axis=-1, keepdims=True)
+                    var = jnp.var(y_h, axis=-1, keepdims=True)
+                    yg_scr[:, sl] = (y_h - mean) \
+                        * jax.lax.rsqrt(var + GN_EPS)
+                    oacc[:, sl] = jnp.sum(rk[:, sl], axis=-1,
+                                          keepdims=True) * v2[:, sl]
+
+        # ---- epilogue + output projection tiles ----
+        @pl.when(w == 3 * na + ng)
+        def _():
+            g_gate = aux_scr[2]
+            yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
+            yg_scr[:] = yf * g_gate
+
+        @pl.when(jnp.logical_and(w >= 3 * na + ng, w < 4 * na + ng))
+        def _():
+            t = w - (3 * na + ng)
+            part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"], sref("Wo"), cd)
+            _acc_add(oacc, part, t == 0)
+
+        # ---- ffn entry: residual add + ln2 ----
+        @pl.when(w == 4 * na + ng)
+        def _():
+            x = x_scr[:] + oacc[:]
+            x_scr[:] = x
+            ln2w = small["ln2"][0]
+            ln2 = _ln(x, ln2w[0:1], ln2w[1:2], LN_EPS)
+            fprev = ffn_x_ref[0].astype(jnp.float32)
+            fxk = (ln2.astype(cd) + (fprev - ln2).astype(cd)
+                   * small["fmix"][0][0:1].astype(cd))
+            xr_scr[:] = fxk.astype(jnp.float32)       # reuse as fxk
+            nffn_x_ref[0] = jnp.where(active, ln2, fprev
+                                      ).astype(nffn_x_ref.dtype)
+
+        # ---- ffn key tiles (accumulate the (B, F) hidden) ----
+        @pl.when(jnp.logical_and(w >= 4 * na + ng, w < 8 * na + ng))
+        def _():
+            t = w - (4 * na + ng)
+            part = _tiled_dot(xr_scr, t * Ktf, Ktf, big["fkey"],
+                              sref("fkey"), cd)
+            _acc_add(hk_scr, part, t == 0)
+
+        # ---- relu^2 ----
+        @pl.when(w == 8 * na + ng)
+        def _():
+            hk = hk_scr[:]
+            hk_scr[:] = jnp.square(jnp.maximum(hk, 0.0)
+                                   ).astype(cd).astype(jnp.float32)
+
+        # ---- ffn value tiles ----
+        @pl.when(jnp.logical_and(w >= 8 * na + ng, w < 12 * na + ng))
+        def _():
+            t = w - (8 * na + ng)
+            part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
+                              sref("fval"), cd)
+            _acc_add(racc, part, t == 0)              # reuse racc
+
+        @pl.when(w == 12 * na + ng - 1)
+        def _():
+            x = x_scr[:] + racc[:]
+            x_scr[:] = x
+
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _():
+                xout_ref[:] = x.astype(xout_ref.dtype)
+
+    return kernel
+
+
+def _big_entries(fused, name):
+    """(weight array, scale array or None) for a big projection in the
+    fused layout (plain ``name`` or quantized ``name_q``/``name_s``)."""
+    if name in fused:
+        return fused[name], None
+    return fused[name + "_q"], fused[name + "_s"]
+
+
+@functools.partial(jax.jit, static_argnames=("na", "interpret"))
+def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
+    """Phased single-token decode: drop-in for models/v7.forward at T=1
+    on models too large for the fused whole-network kernel.  ``na``
+    (tiles per CxC matrix) defaults to the smallest aligned count whose
+    windows fit the VMEM budget (pick_na)."""
+    fused = params[FUSED_KEY]
+    L = fused["ln1"].shape[0]
+    x0 = params["emb"][tokens[:, 0]]
+    B, C = x0.shape
+    layers = params["groups"][0]["layers"]
+    H, N = layers["att"]["r_k"].shape[-2:]
+    cd = x0.dtype
+    active = (lengths > 0)[:, None].astype(jnp.float32)
+
+    from . import fused_decode as fdc
+
+    qmode = fdc.group_mode(layers, _BIG_SRC)
+    wq, _ = _big_entries(fused, "fkey")
+    F = wq.shape[-1]
+    if na is None:
+        na = pick_na(C, F, H, N, B, 1 if qmode == "int8" else 2)
+    nf = 4 * na
+    Kt, Ktf, Ktv = C // na, C // nf, F // nf
+    Hc = min(HEAD_GROUP, H)
+    ng = H // Hc
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda l, w, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def lspec(arr):
+        blk = (1,) + arr.shape[1:]
+        nd = len(blk) - 1
+        return pl.BlockSpec(blk, lambda l, w, _nd=nd: (l,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def win_spec(arr, lo, count, rows):
+        """K-window spec over a stacked big array: plain (L, IN, OUT) ->
+        block (1, rows, OUT); int8 (L, nb, blk, OUT) -> block
+        (1, rows//blk, blk, OUT).  The tile index CLAMPS to [lo, lo+count)
+        so the window is fetched exactly once per layer and reused (same
+        block index => no re-DMA) outside its phase range."""
+        if arr.ndim == 3:
+            blk_rows = rows
+
+            def imap(l, w):
+                t = jnp.clip(w - lo, 0, count - 1)
+                return (l, t, 0)
+
+            return pl.BlockSpec((1, blk_rows, arr.shape[2]), imap,
+                                memory_space=pltpu.VMEM)
+        nbw = rows // arr.shape[2]
+
+        def imap4(l, w):
+            t = jnp.clip(w - lo, 0, count - 1)
+            return (l, t, 0, 0)
+
+        return pl.BlockSpec((1, nbw, arr.shape[2], arr.shape[3]), imap4,
+                            memory_space=pltpu.VMEM)
+
+    def wkv_spec():
+        """Per-head-group wkv window: (1, B, Hc, N, N), group index
+        clamped to the WKV phase range [3na, 3na+ng)."""
+
+        def imap(l, w):
+            g = jnp.clip(w - 3 * na, 0, ng - 1)
+            return (l, 0, g, 0, 0)
+
+        return pl.BlockSpec((1, B, Hc, N, N), imap,
+                            memory_space=pltpu.VMEM)
+
+    in_arrays = [x0, active, state["att_x"], state["wkv"], state["ffn_x"]]
+    in_specs = [const_spec(x0), const_spec(active),
+                lspec(state["att_x"]), wkv_spec(),
+                lspec(state["ffn_x"])]
+    for k in _SMALL_KEYS:
+        in_arrays.append(fused[k])
+        in_specs.append(lspec(fused[k]))
+    ranges = {"Wr": (0, na, Kt), "Wk": (na, na, Kt), "Wv": (2 * na, na, Kt),
+              "Wo": (3 * na + ng, na, Kt), "fkey": (4 * na + ng, nf, Ktf),
+              "fval": (8 * na + ng, nf, Ktv)}
+    for k in _ATT + _FFN:
+        warr, sarr = _big_entries(fused, k)
+        lo, count, rows = ranges[k]
+        in_arrays.append(warr)
+        in_specs.append(win_spec(warr, lo, count, rows))
+        if sarr is not None:
+            in_arrays.append(sarr)
+            nbw = rows // warr.shape[2]
+
+            def smap(l, w, _lo=lo, _count=count):
+                t = jnp.clip(w - _lo, 0, _count - 1)
+                return (l, t, 0, 0)
+
+            in_specs.append(pl.BlockSpec(
+                (1, nbw, 1, sarr.shape[3]), smap,
+                memory_space=pltpu.VMEM))
+
+    sd = state["wkv"].dtype
+    out_shape = [
+        jax.ShapeDtypeStruct((B, C), cd),
+        jax.ShapeDtypeStruct(state["att_x"].shape, sd),
+        jax.ShapeDtypeStruct(state["wkv"].shape, sd),
+        jax.ShapeDtypeStruct(state["ffn_x"].shape, sd),
+    ]
+    out_specs = [
+        pl.BlockSpec((B, C), lambda l, w: (0, 0), memory_space=pltpu.VMEM),
+        lspec(state["att_x"]),
+        wkv_spec(),
+        lspec(state["ffn_x"]),
+    ]
+
+    scratch = [pltpu.VMEM((B, C), jnp.float32)          # x_scr
+               ] + [pltpu.VMEM((B, C), jnp.float32)] * 9 + [
+               pltpu.VMEM((B, F), jnp.float32),          # hk_scr
+               pltpu.VMEM((B, C), jnp.float32),          # kk_scr
+               pltpu.VMEM((5, B, C), jnp.float32)]       # aux (wdec,a,g,rk,ln1)
+
+    x_final, natt, nwkv, nffn = pl.pallas_call(
+        _kernel(H, N, na, F, cd, qmode, Hc),
+        grid=(L, 12 * na + ng),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
+        # in-place — the kernel reads each head's block before writing it.
+        input_output_aliases={3: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*in_arrays)
+
+    from ..models.common import layer_norm
+
+    hidden = layer_norm(x_final, params["ln_out_w"], params["ln_out_b"])
+    new_state = {"att_x": natt, "wkv": nwkv, "ffn_x": nffn}
+    return hidden[:, None, :], new_state

@@ -79,3 +79,15 @@ def fused_decode_mode() -> str:
     if mode in ("on", "off", "interpret"):
         return mode
     return "on" if _on_tpu() else "off"
+
+
+def phased_decode_mode() -> str:
+    """'on' | 'off' | 'interpret' for the phased whole-LAYER T=1 kernel
+    (ops/v7_phased_pallas.py) — the 7B-class follow-on to the fused
+    whole-network kernel (K-tiled weight windows instead of whole-layer
+    windows).  Default: on for TPU, off elsewhere.  Override with
+    AI00_PHASED_DECODE=on|off|interpret."""
+    mode = os.environ.get("AI00_PHASED_DECODE", "auto")
+    if mode in ("on", "off", "interpret"):
+        return mode
+    return "on" if _on_tpu() else "off"

@@ -84,6 +84,27 @@ def save_prefab(path: str, model: LoadedModel, config: dict | None = None
     # load; never serialize them.
     params = {k: v for k, v in model.params.items()
               if not k.startswith("_")}
+    if model.surrogate_modes:
+        # Leaves the engine converted to int8 SURROGATE codes for decode
+        # (ops/quant.use_int8_surrogate) repack LOSSLESSLY to their
+        # original 4-bit form: the prefab stays the compact format.
+        from .ops.quant import repack_surrogate
+
+        params = dict(params)
+        for dotted, mode in model.surrogate_modes.items():
+            keys = [int(k) if k.isdigit() else k for k in dotted.split(".")]
+            node = params
+            for k in keys[:-1]:
+                nxt = node[k]
+                # Copy containers along the path so the live pytree (and
+                # its device arrays) stays untouched.
+                nxt = list(nxt) if isinstance(nxt, list) else dict(nxt)
+                node[k] = nxt
+                node = nxt
+            leaf = node[keys[-1]]
+            node[keys[-1]] = repack_surrogate(
+                np.asarray(leaf.q), np.asarray(leaf.scale), mode,
+                leaf.shape)
     skeleton = _to_skeleton(params, tensors, "")
     if model.init_wkv is not None:
         skeleton_init = _to_skeleton(model.init_wkv, tensors, "/init")

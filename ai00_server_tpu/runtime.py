@@ -72,12 +72,12 @@ class SamplerSpec:
     miro_rate: float = 0.1
 
     def row_params(self) -> dict:
-        # top_k <= 0 means "no top-k truncation" (the reference honors
-        # arbitrary top_k over the full vocab); the on-device sampler sorts
-        # only the top TOP_K_CAP logits, so "unbounded" and any k > CAP
-        # clamp there.  The cap is documented at the API layer.
-        top_k = (sampling.TOP_K_CAP if self.top_k <= 0
-                 else min(self.top_k, sampling.TOP_K_CAP))
+        # top_k <= 0 means "no top-k truncation"; the reference honors
+        # arbitrary top_k over the full vocab (nucleus.rs:69-134).  Rows
+        # with top_k in (0, TOP_K_CAP] take the fast partial-sort path;
+        # 0 or > TOP_K_CAP selects the full-vocab sampler bucket (exact,
+        # at a full on-device sort per step for that batch mix).
+        top_k = max(0, int(self.top_k))
         return {
             "kind": self.kind,
             "top_p": self.top_p,
@@ -150,6 +150,25 @@ class GenerateHandle:
 # ---------------------------------------------------------------------------
 # Prompt-prefix trie cache (reference: run.rs:231-273, 443-485)
 # ---------------------------------------------------------------------------
+
+
+class _LazyLogitsRow:
+    """One row of a device-resident (B, V) logits array, materialized to
+    host at most once, off the drive loop's critical path (the full
+    prompt-end logits download is multi-MB through the device link)."""
+
+    __slots__ = ("_dev", "_b", "_np")
+
+    def __init__(self, dev, b):
+        self._dev = dev
+        self._b = b
+        self._np = None
+
+    def get(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self._dev[self._b])
+            self._dev = None
+        return self._np
 
 
 @dataclass
@@ -319,6 +338,15 @@ class _ReqCtx:
     # Deadline for deferring admission on an in-flight prefix-cache future
     # (0 = not deferring yet).
     defer_deadline: float = 0.0
+    # BNF chunking state: the row's currently-uploaded allowed mask
+    # (None = not computed yet), dirtied whenever the grammar advances;
+    # bnf_misses counts consecutive chunks cut short by a mask change —
+    # grammars whose mask shifts every token fall back to per-token
+    # stepping (bnf_no_chunk).
+    bnf_mask: Any = None
+    bnf_dirty: bool = True
+    bnf_misses: int = 0
+    bnf_no_chunk: bool = False
 
 
 class Runtime:
@@ -366,6 +394,14 @@ class Runtime:
             "requests_finished": 0,
             "cache_hits": 0,
             "step_seconds": 0.0,
+            # Drive-loop diagnostics (AI00_DRIVE_STATS prints at stop).
+            "chunk_launches": 0,
+            "chunk_successors": 0,
+            "chunk_wait_s": 0.0,
+            "merged_steps": 0,
+            "merged_step_s": 0.0,
+            "rollbacks": 0,
+            "spec_dead_rows": 0,
         }
 
     # ------------------------------------------------------------------
@@ -518,7 +554,7 @@ class Runtime:
         if self.decode_chunk_size > 1:
             chunkable = [s for s in active
                          if s.phase == _SlotPhase.DECODE
-                         and s.ctx.formatter is None]
+                         and self._can_chunk(s.ctx)]
         else:
             chunkable = []
         rest = [s for s in active if s not in chunkable]
@@ -530,7 +566,7 @@ class Runtime:
             await self._consume_chunk(loop, chunkable)
         elif chunkable:
             self._spec = await self._launch_chunk(
-                loop, chunkable, self._pick_k(chunkable))
+                loop, chunkable, self._pick_k())
         if rest:
             # Prefill and BNF rows take merged steps that overlap the
             # in-flight decode chunk (the device runs them back to back;
@@ -566,11 +602,11 @@ class Runtime:
                 lengths[s.index] = 1
                 sample_mask[s.index] = True
 
-        # BNF masks are computed on CPU and uploaded before the step.
+        # BNF masks are computed on CPU and uploaded before the step
+        # (cached: recomputed only after the grammar advanced).
         for s in rows:
             if s.ctx.formatter is not None and sample_mask[s.index]:
-                self.engine.set_row_mask(
-                    s.index, s.ctx.formatter.allowed_mask())
+                await self._refresh_bnf_mask(loop, s)
 
         want_logits = bool(completing)
         t0 = time.monotonic()
@@ -579,17 +615,68 @@ class Runtime:
             want_logits)
         self.metrics["steps"] += 1
         self.metrics["step_seconds"] += time.monotonic() - t0
+        self.metrics["merged_steps"] += 1
+        self.metrics["merged_step_s"] += time.monotonic() - t0
         self.metrics["prefill_tokens"] += int(lengths.sum())
 
         for s in completing:
             if result.logits is not None:
-                s.ctx.prefill_logits = result.logits[s.index].copy()
+                s.ctx.prefill_logits = _LazyLogitsRow(
+                    result.logits, s.index)
 
         # ---- distribute results ----
         for s in list(rows):
             await self._advance(s, lengths, sample_mask, result)
 
-    async def _launch_chunk(self, loop, active, K, first_device=None):
+    def _can_chunk(self, ctx) -> bool:
+        """BNF rows join the K-token decode chunk with REPLAY validation
+        (SURVEY §7 hard part (d)): the chunk samples under the row's
+        current mask; afterwards the host replays the tokens through the
+        grammar and accepts the prefix sampled while the true mask stayed
+        unchanged — exact reference distribution, chunk-scan speed for
+        grammars whose mask is sticky.  Mirostat rows are excluded (their
+        adaptive state cannot be host-rebuilt on mis-speculation), as are
+        rows whose grammar keeps shifting the mask (bnf_no_chunk)."""
+        if ctx.formatter is None:
+            return True
+        return (not ctx.bnf_no_chunk
+                and ctx.request.sampler.kind != sampling.KIND_MIROSTAT)
+
+    async def _refresh_bnf_mask(self, loop, slot) -> None:
+        """Bring mask_pool[row] up to date with the grammar state (the
+        ~1 ms cached / ~100 ms first-visit native mask computation runs
+        off the event loop)."""
+        ctx = slot.ctx
+        if ctx.formatter is None or not ctx.bnf_dirty:
+            return
+        mask = await loop.run_in_executor(None, ctx.formatter.allowed_mask)
+        ctx.bnf_dirty = False
+        if ctx.bnf_mask is not None and np.array_equal(mask, ctx.bnf_mask):
+            return
+        ctx.bnf_mask = mask
+        self.engine.set_row_mask(slot.index, mask)
+
+    def _rebuild_sampler_state(self, b: int, ctx) -> None:
+        """Host-recompute row ``b``'s penalty state from the accepted
+        token history and upload it (after a BNF mis-speculation rolled
+        the row back: the device recurrence pen = pen*decay; pen[tok] =
+        seen ? +frequency : presence is a pure function of the
+        sequence)."""
+        sp = ctx.request.sampler
+        pen, seen = sampling.init_penalties_host(
+            list(ctx.model_tokens), self.engine.vocab,
+            sp.presence_penalty, sp.frequency_penalty, sp.penalty_decay)
+        decay = np.float32(sp.penalty_decay)
+        freq = np.float32(sp.frequency_penalty)
+        pres = np.float32(sp.presence_penalty)
+        for tok in ctx.all_tokens[len(ctx.prompt_tokens):]:
+            pen *= decay
+            pen[tok] = (pen[tok] + freq) if seen[tok] else pres
+            seen[tok] = True
+        self.engine.set_row_sampler_state(b, pen, seen)
+
+    async def _launch_chunk(self, loop, active, K, first_device=None,
+                            consumed=None):
         """Dispatch a decode chunk WITHOUT downloading its tokens.
 
         Returns the in-flight record; the tokens stay on device until
@@ -597,11 +684,32 @@ class Runtime:
         speculative chunk from the previous chunk's device-resident last
         tokens (no host round-trip between chunks); rows NOT in
         ``first_device``'s covering set (newly joining the pipeline)
-        supply their first token from the host."""
+        supply their first token from the host.
+
+        Each row gets a per-row token BUDGET = remaining max_tokens
+        (minus what the chunk being consumed will deliver, ``consumed``
+        = {row: tokens}); the scan freezes the row at its budget, so a
+        LENGTH stop never over-consumes state and needs no rollback.
+        Rows whose budget would be zero are left out entirely."""
         B = self.max_batch
+        consumed = consumed or {}
+        budgets = {}
+        for s in active:
+            rem = (s.ctx.request.max_tokens - s.ctx.counter.completion
+                   - consumed.get(s.index, 0))
+            if rem > 0:
+                budgets[s.index] = min(rem, K)
+        active = [s for s in active if s.index in budgets]
+        if not active:
+            return None
+        for s in active:
+            if s.ctx.formatter is not None:
+                await self._refresh_bnf_mask(loop, s)
         mask = np.zeros(B, np.bool_)
+        budget = np.zeros(B, np.int32)
         for s in active:
             mask[s.index] = True
+            budget[s.index] = budgets[s.index]
         host_first = None
         if first_device is None:
             first = np.zeros(B, np.int32)
@@ -609,8 +717,10 @@ class Runtime:
                 first[s.index] = s.ctx.all_tokens[-1]
         else:
             first = first_device["toks"]
+            stale = first_device.get("dead", frozenset())
             joining = [s for s in active
-                       if s.index not in first_device["rows"]]
+                       if s.index not in first_device["rows"]
+                       or s.index in stale]
             if joining:
                 hmask = np.zeros(B, np.bool_)
                 hvals = np.zeros(B, np.int32)
@@ -618,30 +728,34 @@ class Runtime:
                     hmask[s.index] = True
                     hvals[s.index] = s.ctx.all_tokens[-1]
                 host_first = (hmask, hvals)
+        t0 = time.monotonic()
         toks_seq, _sp = await loop.run_in_executor(
             None, lambda: self.engine.decode_chunk(
-                first, mask, K, sync=False, host_first=host_first))
+                first, mask, K, sync=False, host_first=host_first,
+                budget=budget))
+        self.metrics["launch_s"] = self.metrics.get(
+            "launch_s", 0.0) + time.monotonic() - t0
+        self.metrics["chunk_launches"] += 1
+        if first_device is not None:
+            self.metrics["chunk_successors"] += 1
         return {"toks": toks_seq,
                 "entries": [(s, s.ctx) for s in active],
                 "rows": frozenset(s.index for s in active), "K": K,
+                "budgets": budgets, "dead": set(),
                 "launched": time.monotonic()}
 
-    def _pick_k(self, slots, consumed_rows=frozenset(), k_prev=0):
-        """Chunk size for the next decode chunk over ``slots``.  Rows in
-        ``consumed_rows`` are assumed to accept all ``k_prev`` tokens of
-        the chunk being consumed (speculative successor sizing).  The 4x
-        bucket applies only when every row has the budget AND no request
-        is waiting to join (new arrivals join at base-chunk granularity);
-        LENGTH stops landing mid-chunk are handled by per-row rollback."""
+    def _pick_k(self):
+        """Chunk size for the next decode chunk.  Per-row budgets make
+        any size safe (rows freeze at max_tokens), so this is purely a
+        latency/throughput knob: the 4x bucket amortizes the dispatch
+        round-trip whenever no request is waiting to join mid-chunk
+        (pending admission or an active prefill); new arrivals join at
+        base-chunk granularity."""
         base = self.decode_chunk_size
-        big = base * 4
-        rems = [s.ctx.request.max_tokens - s.ctx.counter.completion
-                - (k_prev if s.index in consumed_rows else 0)
-                for s in slots]
-        if (min(rems) >= big and not self.pending
-                and all(s.phase == _SlotPhase.DECODE for s in self.slots
-                        if s.ctx is not None)):
-            return big
+        if not self.pending and all(
+                s.phase == _SlotPhase.DECODE for s in self.slots
+                if s.ctx is not None):
+            return base * 4
         return base
 
     async def _consume_chunk(self, loop, chunkable) -> None:
@@ -651,10 +765,17 @@ class Runtime:
         chunkable row, not just the consumed chunk's rows — launches
         BEFORE the token download, so the ~100 ms host sync overlaps the
         next chunk's device compute.  Row stops/aborts are RESUMABLE for
-        everyone else: only the stopped row is restored (per-row, from
-        the right snapshot ring depth) and the successor keeps running
-        for the surviving rows; its tokens for the stopped row are
-        skipped at the next consume via ctx-identity tracking.
+        everyone else: the successor keeps running for the surviving
+        rows; its tokens for a stopped row are skipped at the next
+        consume via ctx-identity tracking.
+
+        Stops keep HONEST BOOKS instead of rolling back: the tokens the
+        scan consumed past a mid-chunk stop are recorded (unemitted) in
+        ``all_tokens`` so cache/resident keys exactly match the device
+        state — no restore + re-feed on the critical path.  (LENGTH can
+        never over-consume at all: per-row budgets freeze the row in the
+        scan.)  The only device fix-up left is the cheap single-row
+        restore when a successor already advanced a finished row.
         """
         spec = self._spec
         self._spec = None
@@ -664,11 +785,13 @@ class Runtime:
         if self._speculative and chunkable and len(live) == len(
                 spec["entries"]) and spec["rows"].issubset(
                     frozenset(s.index for s in chunkable)):
-            kn = self._pick_k(chunkable, spec["rows"], K)
             newspec = await self._launch_chunk(
-                loop, chunkable, kn,
+                loop, chunkable, self._pick_k(),
                 first_device={"toks": spec["toks"][-1],
-                              "rows": spec["rows"]})
+                              "rows": spec["rows"],
+                              "dead": frozenset(spec["dead"])},
+                consumed={b: k for b, k in spec["budgets"].items()
+                          if b not in spec["dead"]})
             # Record it NOW so a crash mid-processing rolls it back
             # (_abandon_spec) instead of leaving a dangling chunk.
             self._spec = newspec
@@ -679,23 +802,62 @@ class Runtime:
         # Blocking time only: launch-to-consume spans overlap other work
         # (that's the point of the pipeline) and would double-count.
         self.metrics["step_seconds"] += time.monotonic() - t0
-        self.metrics["decode_tokens"] += len(live) * K
+        self.metrics["chunk_wait_s"] += time.monotonic() - t0
+        dead = spec["dead"]
+        self.metrics["decode_tokens"] += sum(
+            k for b, k in spec["budgets"].items() if b not in dead)
+        self.metrics["spec_dead_rows"] += len(spec["entries"]) - len(live)
 
-        # Snapshot ring depth of THIS chunk's pre-state: the successor's
-        # launch pushed its own snapshot on top.
-        depth = -2 if newspec is not None else -1
+        # BNF replay (off-loop, parallel per row): advance each grammar
+        # through its sampled tokens; the accepted prefix is where the
+        # true mask matched the mask the chunk sampled under.
+        replays = {}
+        bnf_live = [(s, c) for s, c in live
+                    if c.formatter is not None and s.index not in dead
+                    and not c.handle.aborted]
+        if bnf_live:
+
+            def _replay(ctx, toks):
+                acc, halted, new_mask = 0, False, None
+                for t in toks:
+                    halted = ctx.formatter.accept(int(t))
+                    acc += 1
+                    if halted:
+                        break
+                    m = ctx.formatter.allowed_mask()
+                    if ctx.bnf_mask is None or not np.array_equal(
+                            m, ctx.bnf_mask):
+                        new_mask = m
+                        break
+                return acc, halted, new_mask
+
+            rs = await asyncio.gather(*[
+                loop.run_in_executor(
+                    None, _replay, c,
+                    toks_seq[:spec["budgets"][s.index], s.index])
+                for s, c in bnf_live])
+            replays = {s.index: r for (s, c), r in zip(bnf_live, rs)}
 
         for s, ctx in live:
             b = s.index
-            row = [int(t) for t in toks_seq[:, b]]
+            if b in dead:
+                continue  # invalidated by a BNF mis-spec last consume
+            kb = spec["budgets"][b]          # tokens this row really drew
+            row = [int(t) for t in toks_seq[:kb, b]]
+            in_successor = (newspec is not None
+                            and b in newspec["rows"])
+            if ctx.formatter is not None and not ctx.handle.aborted:
+                await self._consume_bnf_row(
+                    loop, s, ctx, row, kb, replays[b], newspec)
+                continue
             if ctx.handle.aborted:
-                # All K tokens were consumed by the device state; record
-                # them so cache/resident keys stay honest.  With a
-                # successor in flight the row must still be restored to
-                # its post-chunk state (ring depth -1 == this chunk's
-                # output) so the resident state matches the books.
+                # Record all kb consumed tokens so cache/resident keys
+                # stay honest; if the successor advanced this row past
+                # the abort, restore it to its post-chunk state (ring
+                # depth -1 == this chunk's pre-successor output).
                 ctx.all_tokens.extend(row)
-                if newspec is not None:
+                if in_successor:
+                    self.metrics["rollbacks"] += 1
                     await loop.run_in_executor(
                         None, self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, FinishReason.ABORT)
@@ -704,26 +866,89 @@ class Runtime:
                 reason = await self._postprocess_token(s, token)
                 if reason is None:
                     continue
-                if j < K - 1:
-                    # Mid-chunk stop: the scan consumed row[:K-1] but the
-                    # request accepted only row[:j].  Restore the row
-                    # from THIS chunk's pre-snapshot and re-feed the
-                    # accepted tokens so the resident state contains
-                    # exactly the emitted tokens (ref per-token
-                    # semantics).  Other rows keep their speculative
-                    # chunk — the stop invalidates only this row.
-                    feed = ctx.all_tokens[-(j + 2):-1]
-                    await loop.run_in_executor(
-                        None, self.engine.rollback_row, b, feed, depth)
-                elif newspec is not None:
-                    # Stop on the chunk's last token: the successor
-                    # advanced this row past its stop; put it back to
-                    # its post-chunk state.
+                # Honest books: append the over-decoded suffix the scan
+                # consumed but the request never saw (last sampled token
+                # stays un-fed, preserving the _consumed_tokens
+                # invariant).
+                ctx.all_tokens.extend(row[j + 1:])
+                if in_successor:
+                    self.metrics["rollbacks"] += 1
                     await loop.run_in_executor(
                         None, self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, reason)
                 break
         self._spec = newspec
+
+    async def _consume_bnf_row(self, loop, s, ctx, row, kb, replay,
+                               newspec) -> None:
+        """Process one BNF row's chunk tokens using the replay verdict.
+
+        ``replay = (acc, halted, new_mask)``: the grammar accepted
+        ``row[:acc]``; ``halted`` means the grammar completed on the
+        acc-th token; ``new_mask`` is the changed allowed mask (tokens
+        past acc were sampled under a stale mask and are DISCARDED).
+        Exactness: every emitted token was sampled under a mask equal to
+        the true grammar mask at its step — identical distribution to
+        per-token stepping (bnf.rs:35-47 semantics).
+        """
+        b = s.index
+        acc, halted, new_mask = replay
+        reason = None
+        for j in range(acc):
+            reason = await self._postprocess_token(
+                s, row[j], halted=(halted and j == acc - 1))
+            if reason is not None:
+                # Honest books for the rest of what the scan consumed.
+                ctx.all_tokens.extend(row[j + 1:])
+                break
+
+        if reason is not None:
+            if newspec is not None and b in newspec["rows"]:
+                newspec["dead"].add(b)
+                self.metrics["rollbacks"] += 1
+                await loop.run_in_executor(
+                    None, self.engine.rollback_row, b, [], -1)
+            await self._finalize(s, reason)
+            return
+
+        if new_mask is None:
+            # Full chunk accepted under an unchanged mask: nothing to fix.
+            ctx.bnf_misses = 0
+            return
+
+        # Mis-speculation: tokens past ``acc`` were sampled under a stale
+        # mask.  Resume the row at its accepted prefix.
+        self.metrics["rollbacks"] += 1
+        if newspec is not None and b in newspec["rows"]:
+            newspec["dead"].add(b)
+        if acc < kb:
+            # The scan over-consumed state: restore from THIS chunk's
+            # pre-snapshot and re-feed the accepted tokens (device-side).
+            depth = -2 if newspec is not None else -1
+            feed = ctx.all_tokens[-(acc + 1):-1]
+            await loop.run_in_executor(
+                None, self.engine.rollback_row, b, feed, depth)
+            await loop.run_in_executor(
+                None, self._rebuild_sampler_state, b, ctx)
+        elif newspec is not None and b in newspec["dead"]:
+            # State is exactly post-chunk, but the successor advanced it:
+            # restore the post-chunk row and rebuild the sampler state.
+            await loop.run_in_executor(
+                None, self.engine.rollback_row, b, [], -1)
+            await loop.run_in_executor(
+                None, self._rebuild_sampler_state, b, ctx)
+        ctx.bnf_mask = new_mask
+        ctx.bnf_dirty = False
+        self.engine.set_row_mask(b, new_mask)
+        # Grammars whose mask shifts every token or two gain nothing from
+        # chunking (every chunk rolls back almost immediately): fall back
+        # to per-token merged stepping for this request.
+        if acc <= 2:
+            ctx.bnf_misses += 1
+            if ctx.bnf_misses >= 2:
+                ctx.bnf_no_chunk = True
+        else:
+            ctx.bnf_misses = 0
 
     async def _admit(self) -> None:
         """Assign pending requests to free slots (Continue > Empty > Back)."""
@@ -872,7 +1097,9 @@ class Runtime:
             # prompt-end logits (reference CachedItem.output, run.rs:199-223).
             slot.phase = _SlotPhase.DECODE
             if ctx.formatter is not None:
-                eng.set_row_mask(b, ctx.formatter.allowed_mask())
+                ctx.bnf_mask = ctx.formatter.allowed_mask()
+                ctx.bnf_dirty = False
+                eng.set_row_mask(b, ctx.bnf_mask)
             token = await asyncio.get_event_loop().run_in_executor(
                 None, eng.sample_only, b, exact_item.logits)
             await self._accept_token(slot, token)
@@ -935,17 +1162,22 @@ class Runtime:
                 row = await loop.run_in_executor(
                     None, self.engine.read_row_state_device, b)
                 cache = self.cache_for(ctx.state_id)
-                fut = loop.run_in_executor(
-                    None, lambda r=row: jax.tree.map(np.asarray, r))
+                lazy = ctx.prefill_logits
+
+                def _materialize(r=row, lg=lazy):
+                    return (jax.tree.map(np.asarray, r),
+                            lg.get() if lg is not None else None)
+
+                fut = loop.run_in_executor(None, _materialize)
                 self._cache_stores.add(fut)
                 cf = ctx.cache_future
-                logits = ctx.prefill_logits
                 key = ctx.prompt_tokens
 
-                def _store(f, cache=cache, cf=cf, logits=logits, key=key):
+                def _store(f, cache=cache, cf=cf, key=key):
                     self._cache_stores.discard(f)
                     try:
-                        item = CachedItem(state=f.result(), logits=logits,
+                        state_np, logits_np = f.result()
+                        item = CachedItem(state=state_np, logits=logits_np,
                                           tokens=key)
                         cache.insert(key, item)
                         cache.maintain()
@@ -970,20 +1202,25 @@ class Runtime:
         token = int(result.tokens[b])
         await self._accept_token(slot, token)
 
-    async def _postprocess_token(self, slot: _Slot,
-                                 token: int) -> FinishReason | None:
+    async def _postprocess_token(self, slot: _Slot, token: int,
+                                 halted: bool | None = None
+                                 ) -> FinishReason | None:
         """Append + stream one sampled token; detect stop conditions.
 
-        Returns the finish reason (without finalizing — the chunked-decode
-        path must roll back over-consumed state BEFORE the finalize reads
-        it) or None to keep decoding.
+        Returns the finish reason (without finalizing) or None to keep
+        decoding.  ``halted`` carries a precomputed grammar-halt verdict
+        when the BNF replay already advanced the formatter (chunked BNF
+        rows); None means advance it here.
         """
         ctx = slot.ctx
         ctx.all_tokens.append(token)
         ctx.counter.completion += 1
 
-        halted = (ctx.formatter.accept(token)
-                  if ctx.formatter is not None else False)
+        if halted is None:
+            halted = (ctx.formatter.accept(token)
+                      if ctx.formatter is not None else False)
+            if ctx.formatter is not None:
+                ctx.bnf_dirty = True
 
         if token == END_OF_TEXT:
             await self._emit_bytes(ctx, b"", final=True)
@@ -1132,7 +1369,10 @@ class Runtime:
 
         head_logp = None
         if ctx.prefill_logits is not None:
-            x = ctx.prefill_logits.astype(np.float64)
+            raw = ctx.prefill_logits
+            if isinstance(raw, _LazyLogitsRow):
+                raw = await loop.run_in_executor(None, raw.get)
+            x = raw.astype(np.float64)
             x = x - x.max()
             head_logp = x - np.log(np.exp(x).sum())
 

@@ -1,0 +1,129 @@
+"""Phased whole-layer T=1 decode kernel vs the generic v7 forward.
+
+The phased kernel (ops/v7_phased_pallas.py) is the 7B-class decode path:
+K-tiled weight windows over a (L, 12*na) grid.  These tests run it in
+interpret mode on shapes small enough for CPU but with na > 1 so the
+tile accumulation paths are exercised.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai00_server_tpu.models import ModelVersion, v7
+from ai00_server_tpu.ops import v7_decode_pallas as fd
+from ai00_server_tpu.ops import v7_phased_pallas as pd
+from ai00_server_tpu.testing import make_params, make_raw_weights, \
+    make_tiny_model, tiny_info
+
+
+@pytest.fixture(scope="module")
+def stack():
+    # C=512, F=2048: na=1 -> Kt=512, Ktf=128, Ktv=512 (all >= 128).
+    info, raw, params = make_tiny_model(
+        ModelVersion.V7, seed=9, dtype=np.float32, num_layer=2,
+        num_emb=512, head_size=64, num_vocab=64)
+    return info, raw, params
+
+
+def _advanced_state(info, params, B, seed=0):
+    rng = np.random.default_rng(seed)
+    state = v7.init_state(info, B, jnp.float32)
+    toks = jnp.asarray(rng.integers(0, info.num_vocab, (B, 5)), jnp.int32)
+    lens = jnp.full((B,), 5, jnp.int32)
+    _, state = jax.jit(v7.forward)(params, state, toks, lens)
+    return state
+
+
+def _run_both(info, params, B=4, na=1, seed=1):
+    state = _advanced_state(info, params, B)
+    rng = np.random.default_rng(seed)
+    t1 = jnp.asarray(rng.integers(0, info.num_vocab, (B, 1)), jnp.int32)
+    l1 = jnp.asarray([1] * (B - 1) + [0], jnp.int32)  # one inactive row
+    h_ref, s_ref = jax.jit(v7.forward)(params, state, t1, l1)
+    pparams = dict(params)
+    pparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    h_p, s_p = pd.forward_t1(pparams, state, t1, l1, na=na, interpret=True)
+    return (h_ref, s_ref), (h_p, s_p), state
+
+
+def test_phased_matches_generic_plain(stack):
+    info, raw, params = stack
+    assert pd.can_phase(params, batch=4, na=1)
+    (h_ref, s_ref), (h_p, s_p), state = _run_both(info, params, na=1)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_p[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=2e-4, err_msg=k)
+    # Inactive row untouched.
+    for k in s_ref:
+        np.testing.assert_array_equal(np.asarray(s_p[k][:, -1]),
+                                      np.asarray(state[k][:, -1]))
+
+
+def test_phased_matches_generic_int8(stack):
+    info, raw, params = stack
+    pq = make_params(info, make_raw_weights(info, seed=9, dtype=np.float32),
+                     dtype=np.float32,
+                     quant={i: "int8" for i in range(info.num_layer)})
+    assert pd.can_phase(pq, batch=4, na=1)
+    (h_ref, s_ref), (h_p, s_p), _ = _run_both(info, pq, na=1)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=3e-4, atol=3e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_p[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=3e-4, err_msg=k)
+
+
+def test_phased_multi_tile_accumulation():
+    """na=2 at C=1024 exercises multi-tile accumulators on every matmul."""
+    info, raw, params = make_tiny_model(
+        ModelVersion.V7, seed=5, dtype=np.float32, num_layer=2,
+        num_emb=1024, head_size=64, num_vocab=64)
+    assert pd.can_phase(params, batch=2, na=2)
+    (h_ref, s_ref), (h_p, s_p), _ = _run_both(info, params, B=2, na=2)
+    # K-tiled partial sums accumulate in a different order than one big
+    # dot; tolerances cover f32 reassociation noise.
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=5e-4, atol=5e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_p[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=6e-4, err_msg=k)
+
+
+def test_phased_chain_matches_generic(stack):
+    """Three chained phased steps == three generic steps."""
+    info, raw, params = stack
+    B = 2
+    state_p = _advanced_state(info, params, B)
+    state_r = jax.tree.map(lambda x: x, state_p)
+    rng = np.random.default_rng(3)
+    fwd = jax.jit(v7.forward)
+    pparams = dict(params)
+    pparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    for _ in range(3):
+        t = jnp.asarray(rng.integers(0, info.num_vocab, (B, 1)), jnp.int32)
+        l = jnp.ones((B,), jnp.int32)
+        h_r, state_r = fwd(params, state_r, t, l)
+        h_p, state_p = pd.forward_t1(pparams, state_p, t, l, na=1,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_can_phase_gates():
+    info, raw, params = make_tiny_model(
+        ModelVersion.V7, seed=5, dtype=np.float32, num_layer=2,
+        num_emb=512, head_size=64, num_vocab=64)
+    assert pd.can_phase(params, batch=4, na=1)
+    # Tile not divisible by 128 -> rejected.
+    assert not pd.can_phase(params, batch=4, na=2)
+    # nf4 big projections -> rejected (4-bit converts to int8 surrogate
+    # codes at load instead).
+    pq = make_params(info, make_raw_weights(info, seed=5, dtype=np.float32),
+                     dtype=np.float32,
+                     quant={i: "nf4" for i in range(info.num_layer)})
+    assert not pd.can_phase(pq, batch=4, na=1)

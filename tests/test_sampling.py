@@ -266,3 +266,35 @@ def test_jit_and_batch_heterogeneous():
     assert tok.shape == (B,)
     assert int(tok[3]) == int(jnp.argmax(logits[3]))
     assert all(0 <= int(t) < vocab for t in tok)
+
+
+def test_full_vocab_top_k_bucket():
+    """top_k = 0 (unbounded) or > TOP_K_CAP selects a full-vocab sampler
+    bucket: tokens ranked beyond the 1024-wide fast path stay reachable
+    (reference arbitrary-k fidelity, nucleus.rs:69-134)."""
+    import jax.numpy as jnp
+    from ai00_server_tpu.ops import sampling as S
+
+    V = 4096
+    # Strictly descending logits: sorted order == index order.
+    logits = jnp.asarray(-np.arange(V, dtype=np.float32)[None] * 1e-4)
+    params = S.make_params(1)
+    params["top_k"][0] = 0          # unbounded
+    params["top_p"][0] = 1.0
+    state = S.init_sampler_state(1, V)
+    sparams = {k: jnp.asarray(v) for k, v in params.items()}
+    rand = jnp.asarray([0.9999], jnp.float32)
+
+    assert S.k_cap_key(params["top_k"], V) == V
+    toks_full, _, _ = S.sample_with_rand(
+        rand, logits, sparams, state, kinds=(S.KIND_NUCLEUS,), k_cap=V)
+    assert int(toks_full[0]) > S.TOP_K_CAP  # deep-tail token reachable
+
+    toks_cap, _, _ = S.sample_with_rand(
+        rand, logits, sparams, state, kinds=(S.KIND_NUCLEUS,),
+        k_cap=S.TOP_K_CAP)
+    assert int(toks_cap[0]) < S.TOP_K_CAP   # the old clamp cannot reach it
+
+    # Fast-path requests (k <= cap) keep their power-of-two buckets.
+    params["top_k"][0] = 100
+    assert S.k_cap_key(params["top_k"], V) == 128
