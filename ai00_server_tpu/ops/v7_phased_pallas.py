@@ -129,34 +129,34 @@ def _na_ok(C, F, na):
                 or (F // (4 * na)) % 128)
 
 
-def _acc_add(ref, val, first):
-    @pl.when(first)
-    def _():
+def _acc_add(ref, val, first: bool):
+    if first:
         ref[:] = val
-
-    @pl.when(jnp.logical_not(first))
-    def _():
+    else:
         ref[:] = ref[:] + val
 
 
-def _tiled_dot(x_scr, off, Kt, w_ref, s_ref, cd):
+def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
     """x[:, off:off+Kt] @ window, dequantizing int8 sub-blocks against
-    their per-(block, out) scales on the accumulator."""
-    x = x_scr[:]
-    xt = jax.lax.dynamic_slice(x, (0, off), (x.shape[0], Kt))
+    their per-(block, out) scales on the accumulator.  ``off`` is STATIC
+    (the tile loop is unrolled into per-tile pl.when branches — Mosaic
+    has no value-level dynamic_slice), so every x slice is a plain
+    static lane-range load."""
     if s_ref is None:
+        xt = x_scr[:, off:off + Kt]
         win = w_ref[0]                      # (Kt, out)
         return jnp.dot(xt.astype(cd), win.astype(cd),
                        preferred_element_type=jnp.float32)
     nb = w_ref.shape[1]
     blk = w_ref.shape[2]
     out = w_ref.shape[3]
-    acc = jnp.zeros((x.shape[0], out), jnp.float32)
+    acc = None
     for j in range(nb):
-        xj = jax.lax.dynamic_slice(xt, (0, j * blk), (x.shape[0], blk))
+        xj = x_scr[:, off + j * blk:off + (j + 1) * blk]
         part = jnp.dot(xj.astype(cd), w_ref[0, j].astype(cd),
                        preferred_element_type=jnp.float32)
-        acc = acc + part * s_ref[0, j]
+        part = part * s_ref[0, j]
+        acc = part if acc is None else acc + part
     return acc
 
 
@@ -244,23 +244,18 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
             aux_scr[3] = vmix
             aux_scr[4] = ln1
 
-        # ---- att projection tiles ----
-        @pl.when(w < na)
-        def _():
-            part = _tiled_dot(xr_scr, w * Kt, Kt, big["Wr"], sref("Wr"), cd)
-            _acc_add(racc, part, w == 0)
-
-        @pl.when(jnp.logical_and(w >= na, w < 2 * na))
-        def _():
-            t = w - na
-            part = _tiled_dot(xk_scr, t * Kt, Kt, big["Wk"], sref("Wk"), cd)
-            _acc_add(kacc, part, t == 0)
-
-        @pl.when(jnp.logical_and(w >= 2 * na, w < 3 * na))
-        def _():
-            t = w - 2 * na
-            part = _tiled_dot(xv_scr, t * Kt, Kt, big["Wv"], sref("Wv"), cd)
-            _acc_add(vacc, part, t == 0)
+        # ---- att projection tiles (statically unrolled per tile:
+        # the weight WINDOW tracks w via its index map; only the x slice
+        # needs the tile offset, which must be static for Mosaic) ----
+        for name, xsrc, accr, lo in (("Wr", xr_scr, racc, 0),
+                                     ("Wk", xk_scr, kacc, na),
+                                     ("Wv", xv_scr, vacc, 2 * na)):
+            for t in range(na):
+                @pl.when(w == lo + t)
+                def _(name=name, xsrc=xsrc, accr=accr, t=t):
+                    part = _tiled_dot(xsrc, t * Kt, Kt, big[name],
+                                      sref(name), cd)
+                    _acc_add(accr, part, t == 0)
 
         # ---- WKV prologue (once, before the first head-group step) ----
         @pl.when(w == 3 * na)
@@ -335,11 +330,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
             yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
             yg_scr[:] = yf * g_gate
 
-        @pl.when(jnp.logical_and(w >= 3 * na + ng, w < 4 * na + ng))
-        def _():
-            t = w - (3 * na + ng)
-            part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"], sref("Wo"), cd)
-            _acc_add(oacc, part, t == 0)
+        for t in range(na):
+            @pl.when(w == 3 * na + ng + t)
+            def _(t=t):
+                part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"],
+                                  sref("Wo"), cd)
+                _acc_add(oacc, part, t == 0)
 
         # ---- ffn entry: residual add + ln2 ----
         @pl.when(w == 4 * na + ng)
@@ -356,12 +352,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
                                       ).astype(nffn_x_ref.dtype)
 
         # ---- ffn key tiles (accumulate the (B, F) hidden) ----
-        @pl.when(jnp.logical_and(w >= 4 * na + ng, w < 8 * na + ng))
-        def _():
-            t = w - (4 * na + ng)
-            part = _tiled_dot(xr_scr, t * Ktf, Ktf, big["fkey"],
-                              sref("fkey"), cd)
-            _acc_add(hk_scr, part, t == 0)
+        for t in range(nf):
+            @pl.when(w == 4 * na + ng + t)
+            def _(t=t):
+                part = _tiled_dot(xr_scr, t * Ktf, Ktf, big["fkey"],
+                                  sref("fkey"), cd)
+                _acc_add(hk_scr, part, t == 0)
 
         # ---- relu^2 ----
         @pl.when(w == 8 * na + ng)
@@ -371,12 +367,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
                                    ).astype(cd).astype(jnp.float32)
 
         # ---- ffn value tiles ----
-        @pl.when(jnp.logical_and(w >= 8 * na + ng, w < 12 * na + ng))
-        def _():
-            t = w - (8 * na + ng)
-            part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
-                              sref("fval"), cd)
-            _acc_add(racc, part, t == 0)              # reuse racc
+        for t in range(nf):
+            @pl.when(w == 8 * na + ng + t)
+            def _(t=t):
+                part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
+                                  sref("fval"), cd)
+                _acc_add(racc, part, t == 0)          # reuse racc
 
         @pl.when(w == 12 * na + ng - 1)
         def _():

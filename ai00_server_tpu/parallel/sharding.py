@@ -74,7 +74,7 @@ def param_specs(params) -> dict:
                 _leaf_spec, group["layers"]),
         }
 
-    return {
+    specs = {
         "emb": P(),
         "groups": [group_specs(g) for g in params["groups"]],
         "ln_out_w": P(),
@@ -82,6 +82,13 @@ def param_specs(params) -> dict:
         # Head sharded on vocab: each tp chip scores a vocab shard.
         "head": P(None, "tp"),
     }
+    # Derived decode-layout caches ("_"-prefixed, e.g. the fused T=1
+    # weight stacks) replicate: they serve the dp-sharded whole-network
+    # kernels (engine._mesh_forward), which need full weights per chip.
+    for k, v in params.items():
+        if k.startswith("_"):
+            specs[k] = jax.tree.map(lambda _: P(), v)
+    return specs
 
 
 def state_specs(state) -> dict:

@@ -127,3 +127,33 @@ def test_can_phase_gates():
                      dtype=np.float32,
                      quant={i: "nf4" for i in range(info.num_layer)})
     assert not pd.can_phase(pq, batch=4, na=1)
+
+
+def test_phased_bf16_tracks_f32_reference():
+    """bf16: the phased kernel keeps several chains in f32 that the
+    generic path rounds through bf16; correctness criterion mirrors the
+    fused kernel's — the phased bf16 step must track the f32 reference
+    at least as closely as the generic bf16 step does."""
+    info = tiny_info(ModelVersion.V7, num_layer=3, num_emb=512,
+                     head_size=64, num_vocab=64)
+    raw = make_raw_weights(info, seed=7, dtype=np.float32)
+    p32 = make_params(info, raw, dtype=np.float32)
+    p16 = make_params(info, raw, dtype=jnp.bfloat16)
+
+    B = 4
+    state = _advanced_state(info, p32, B)
+    rng = np.random.default_rng(3)
+    t1 = jnp.asarray(rng.integers(0, 64, (B, 1)), jnp.int32)
+    l1 = jnp.ones((B,), jnp.int32)
+
+    h32, _ = jax.jit(v7.forward)(p32, state, t1, l1)
+    h16, _ = jax.jit(v7.forward)(p16, state, t1, l1)
+    pp = dict(p16)
+    pp[fd.FUSED_KEY] = fd.make_fused_layout(p16)
+    hp, _ = pd.forward_t1(pp, state, t1, l1, na=1, interpret=True)
+
+    ref = np.asarray(h32, np.float32)
+    err_generic = np.abs(np.asarray(h16, np.float32) - ref).max()
+    err_phased = np.abs(np.asarray(hp, np.float32) - ref).max()
+    assert err_phased <= max(err_generic * 1.5, 0.05), \
+        (err_phased, err_generic)

@@ -83,36 +83,43 @@ def main():
     print(f"max|dh|={dh:.4g} (ref max {hs:.4g})  max|dwkv|={ds:.4g}",
           file=sys.stderr)
 
-    # Chained timing: feed argmax token back in, N steps.
+    # Chained timing: feed argmax token back in, N steps.  Params are
+    # ARGUMENTS (closure constants embed in the remote-compile payload
+    # and trip its ~100 MB limit — .claude/skills/verify).
     @jax.jit
-    def chain_phased(state, tok):
+    def chain_phased(p, state, tok):
         def body(i, carry):
             state, tok = carry
-            h, state = pd.forward_t1(params, state, tok, l1)
+            h, state = pd.forward_t1(p, state, tok, l1)
             nt = jnp.argmax(
-                jnp.dot(h[:, 0], params["head"].astype(h.dtype)),
+                jnp.dot(h[:, 0], p["head"].astype(h.dtype)),
                 axis=-1).astype(jnp.int32)[:, None]
             return (state, nt)
         return jax.lax.fori_loop(0, steps, body, (state, tok))
 
     @jax.jit
-    def chain_generic(state, tok):
+    def chain_generic(p, state, tok):
         def body(i, carry):
             state, tok = carry
-            h, state = v7.forward(model.params, state, tok, l1)
+            h, state = v7.forward(p, state, tok, l1)
             nt = jnp.argmax(
-                jnp.dot(h[:, 0], model.params["head"].astype(h.dtype)),
+                jnp.dot(h[:, 0], p["head"].astype(h.dtype)),
                 axis=-1).astype(jnp.int32)[:, None]
             return (state, nt)
         return jax.lax.fori_loop(0, steps, body, (state, tok))
 
-    for name, fn in (("phased", chain_phased), ("generic", chain_generic)):
+    which = os.environ.get("PROBE_ONLY", "")
+    runs = [("phased", chain_phased, params),
+            ("generic", chain_generic, model.params)]
+    for name, fn, p in runs:
+        if which and name != which:
+            continue
         t0 = time.time()
-        out = fn(state, t1)
+        out = fn(p, state, t1)
         jax.block_until_ready(out[1])
         compile_s = time.time() - t0
         t0 = time.time()
-        out = fn(state, t1)
+        out = fn(p, state, t1)
         jax.block_until_ready(out[1])
         dt = time.time() - t0
         print(f"{name}: {dt/steps*1e3:.2f} ms/step "
