@@ -61,28 +61,72 @@ class IVFIndex:
     packed_ids: jax.Array       # (nlist, cap) int32 original ids (-1 = pad)
     nlist: int
     cap: int
+    pscale: jax.Array | None = None  # (nlist, cap) f32 per-vector scales
+    #                                  when ``packed`` stores int8 codes
+
+
+def _assign_chunked(data: np.ndarray, cent_np: np.ndarray,
+                    chunk: int = 1 << 20) -> np.ndarray:
+    """argmin-L2 cluster assignment, chunked through the device (a 10M x
+    1024 f32 distance matrix never materializes anywhere)."""
+    N = data.shape[0]
+    cent = jnp.asarray(cent_np, jnp.float32)
+    c2 = jnp.sum(cent * cent, -1)
+
+    @jax.jit
+    def assign_fn(x):
+        x = x.astype(jnp.float32)
+        d2 = -2.0 * x @ cent.T + c2[None, :]
+        return jnp.argmin(d2, -1).astype(jnp.int32)
+
+    out = np.empty(N, np.int32)
+    for i in range(0, N, chunk):
+        out[i:i + chunk] = np.asarray(assign_fn(
+            jnp.asarray(data[i:i + chunk])))
+    return out
 
 
 def build_ivf(data: np.ndarray, nlist: int = 64, iters: int = 10,
-              seed: int = 0, dtype=jnp.bfloat16) -> IVFIndex:
-    """Cluster and pack an (N, D) matrix for static-shape probing."""
+              seed: int = 0, dtype=jnp.bfloat16, quant: str | None = None,
+              train_sample: int = 1 << 20) -> IVFIndex:
+    """Cluster and pack an (N, D) matrix for static-shape probing.
+
+    Scales to 10M x 1024 on one chip: k-means trains on a subsample,
+    assignment streams in chunks, packing is vectorized, and
+    ``quant='int8'`` stores per-vector-scaled int8 codes (the 10M x 1024
+    index is ~10.5 GB on device instead of 20.5 GB bf16)."""
     N, D = data.shape
-    cent = kmeans(jax.random.PRNGKey(seed), jnp.asarray(data, jnp.float32),
+    train = data
+    if N > train_sample:
+        rs = np.random.default_rng(seed)
+        train = data[rs.choice(N, train_sample, replace=False)]
+    cent = kmeans(jax.random.PRNGKey(seed), jnp.asarray(train, jnp.float32),
                   nlist, iters)
     cent_np = np.asarray(cent)
-    d2 = (np.sum(data.astype(np.float32) ** 2, -1, keepdims=True)
-          - 2.0 * data.astype(np.float32) @ cent_np.T
-          + np.sum(cent_np ** 2, -1)[None, :])
-    assign = np.argmin(d2, -1)
+    assign = _assign_chunked(data, cent_np)
     counts = np.bincount(assign, minlength=nlist)
     cap = int(max(1, counts.max()))
-    packed = np.zeros((nlist, cap, D), np.float32)
+    # Vectorized packing: stable sort by cluster, then position-in-cluster.
+    order = np.argsort(assign, kind="stable")
+    pos = np.arange(N, dtype=np.int64) - np.repeat(
+        np.cumsum(np.concatenate([[0], counts[:-1]])), counts)
+    cl = assign[order]
     packed_ids = np.full((nlist, cap), -1, np.int32)
-    fill = np.zeros(nlist, np.int64)
-    for i, c in enumerate(assign):
-        packed[c, fill[c]] = data[i]
-        packed_ids[c, fill[c]] = i
-        fill[c] += 1
+    packed_ids[cl, pos] = order.astype(np.int32)
+    if quant == "int8":
+        scale = np.maximum(
+            np.abs(data).max(axis=-1, keepdims=True), 1e-12) / 127.0
+        codes = np.clip(np.round(data / scale), -127, 127).astype(np.int8)
+        packed = np.zeros((nlist, cap, D), np.int8)
+        packed[cl, pos] = codes[order]
+        pscale = np.zeros((nlist, cap), np.float32)
+        pscale[cl, pos] = scale[order, 0]
+        return IVFIndex(centroids=cent, packed=jnp.asarray(packed),
+                        packed_ids=jnp.asarray(packed_ids),
+                        nlist=nlist, cap=cap,
+                        pscale=jnp.asarray(pscale))
+    packed = np.zeros((nlist, cap, D), np.float32)
+    packed[cl, pos] = data[order]
     return IVFIndex(
         centroids=cent,
         packed=jnp.asarray(packed, dtype),
@@ -93,16 +137,22 @@ def build_ivf(data: np.ndarray, nlist: int = 64, iters: int = 10,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8):
-    """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit."""
+def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
+               pscale=None):
+    """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit.
+    ``pscale`` dequantizes int8-coded clusters on the score accumulator
+    (one multiply per candidate, not per element)."""
     q = queries.astype(jnp.float32)
     cscore = q @ centroids.T                       # (Q, nlist)
     _, probe = jax.lax.top_k(cscore, nprobe)       # (Q, nprobe)
 
     cand = packed[probe]                           # (Q, nprobe, cap, D)
     cand_ids = packed_ids[probe]                   # (Q, nprobe, cap)
-    scores = jnp.einsum("qd,qpcd->qpc", q, cand.astype(jnp.float32),
+    dt = jnp.bfloat16 if packed.dtype == jnp.int8 else jnp.float32
+    scores = jnp.einsum("qd,qpcd->qpc", q.astype(dt), cand.astype(dt),
                         preferred_element_type=jnp.float32)
+    if pscale is not None:
+        scores = scores * pscale[probe]
     scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
     Q = q.shape[0]
     flat = scores.reshape(Q, -1)
@@ -110,3 +160,33 @@ def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8):
     top, pos = jax.lax.top_k(flat, k)
     ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     return top, ids
+
+
+def exact_search_chunked(data: np.ndarray, queries, k=10,
+                         chunk: int = 1 << 20):
+    """Exact MIPS over a HOST-resident (N, D) matrix, streamed through
+    the device in chunks and merged on host — ground truth (and a
+    memory-capped exact path) for indices larger than HBM."""
+    Q = queries.shape[0]
+    qd = jnp.asarray(queries, jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def score_chunk(x, kk):
+        s = jnp.dot(qd, x.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, kk)
+
+    best_s = np.full((Q, k), -np.inf, np.float32)
+    best_i = np.full((Q, k), -1, np.int64)
+    N = data.shape[0]
+    for i in range(0, N, chunk):
+        x = jnp.asarray(data[i:i + chunk], jnp.bfloat16)
+        kk = min(k, x.shape[0])
+        s, idx = score_chunk(x, kk)
+        s = np.asarray(s)
+        idx = np.asarray(idx, np.int64) + i
+        cat_s = np.concatenate([best_s, s], axis=1)
+        cat_i = np.concatenate([best_i, idx], axis=1)
+        sel = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+    return best_s, best_i

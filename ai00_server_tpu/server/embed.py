@@ -28,6 +28,51 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+# fastembed model zoo (reference config.rs:82-157): enum name -> HF repo
+# id, so a reference Config.toml whose [embed] names a zoo model resolves
+# here unchanged.  Quantized variants ("...Q") are ONNX artifacts of the
+# same checkpoints; this build runs the fp32 torch weights for them.
+ZOO = {
+    "AllMiniLML6V2": "sentence-transformers/all-MiniLM-L6-v2",
+    "AllMiniLML6V2Q": "sentence-transformers/all-MiniLM-L6-v2",
+    "AllMiniLML12V2": "sentence-transformers/all-MiniLM-L12-v2",
+    "AllMiniLML12V2Q": "sentence-transformers/all-MiniLM-L12-v2",
+    "BGEBaseENV15": "BAAI/bge-base-en-v1.5",
+    "BGEBaseENV15Q": "BAAI/bge-base-en-v1.5",
+    "BGELargeENV15": "BAAI/bge-large-en-v1.5",
+    "BGELargeENV15Q": "BAAI/bge-large-en-v1.5",
+    "BGESmallENV15": "BAAI/bge-small-en-v1.5",
+    "BGESmallENV15Q": "BAAI/bge-small-en-v1.5",
+    "NomicEmbedTextV1": "nomic-ai/nomic-embed-text-v1",
+    "NomicEmbedTextV15": "nomic-ai/nomic-embed-text-v1.5",
+    "NomicEmbedTextV15Q": "nomic-ai/nomic-embed-text-v1.5",
+    "ParaphraseMLMiniLML12V2":
+        "sentence-transformers/paraphrase-MiniLM-L6-v2",
+    "ParaphraseMLMiniLML12V2Q":
+        "sentence-transformers/paraphrase-MiniLM-L6-v2",
+    "ParaphraseMLMpnetBaseV2":
+        "sentence-transformers/paraphrase-mpnet-base-v2",
+    "BGESmallZHV15": "BAAI/bge-small-zh-v1.5",
+    "MultilingualE5Small": "intfloat/multilingual-e5-small",
+    "MultilingualE5Base": "intfloat/multilingual-e5-base",
+    "MultilingualE5Large": "intfloat/multilingual-e5-large",
+    "MxbaiEmbedLargeV1": "mixedbread-ai/mxbai-embed-large-v1",
+    "MxbaiEmbedLargeV1Q": "mixedbread-ai/mxbai-embed-large-v1",
+    "GTEBaseENV15": "Alibaba-NLP/gte-base-en-v1.5",
+    "GTEBaseENV15Q": "Alibaba-NLP/gte-base-en-v1.5",
+    "GTELargeENV15": "Alibaba-NLP/gte-large-en-v1.5",
+    "GTELargeENV15Q": "Alibaba-NLP/gte-large-en-v1.5",
+    "ClipVitB32": "Qdrant/clip-ViT-B-32-text",
+    "JinaEmbeddingsV2BaseCode": "jinaai/jina-embeddings-v2-base-code",
+}
+
+
+def resolve_zoo(name: str) -> str:
+    """Map a fastembed zoo enum name to its HF repo id; other names
+    (local paths, HF ids) pass through unchanged."""
+    return ZOO.get(str(name), name)
+
+
 class TextEmbedder:
     """BERT-style sentence embedder: mean-pool over valid tokens + L2
     normalization (fastembed's pooling for the reference's default
@@ -77,6 +122,7 @@ async def load_embedder(cfg: dict) -> TextEmbedder | None:
     if not name:
         log.warning("[embed] section present but no model configured")
         return None
+    name = resolve_zoo(name)
     home = cfg.get("home")
     if home:
         os.environ.setdefault("HF_HOME", str(home))

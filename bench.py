@@ -108,6 +108,79 @@ def bench_retrieval():
           file=sys.stderr)
 
 
+def bench_ivf():
+    """IVF retrieval at the 10M-vector north star (BASELINE.json: full
+    RAG serve, IVF over 10M vectors): int8-coded clusters (~10.5 GB on
+    device), recall@10 measured against chunked-exact ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai00_server_tpu.ops import retrieval as R
+
+    N = int(os.environ.get("BENCH_RET_N", str(10_000_000)))
+    D = int(os.environ.get("BENCH_RET_DIM", "1024"))
+    Q = int(os.environ.get("BENCH_RET_BATCH", "64"))
+    nlist = int(os.environ.get("BENCH_RET_NLIST", "4096"))
+    rounds = int(os.environ.get("BENCH_RET_ROUNDS", "20"))
+    nq = 256
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    x = np.empty((N, D), np.float32)
+    step = 1 << 20
+    for i in range(0, N, step):
+        n = min(step, N - i)
+        v = rng.standard_normal((n, D)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        x[i:i + n] = v
+    qi = rng.choice(N, nq, replace=False)
+    q = x[qi] + 0.01 * rng.standard_normal((nq, D)).astype(np.float32)
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    _, gt = R.exact_search_chunked(x, q, k=10)
+    gt_s = time.time() - t0
+
+    t0 = time.time()
+    ivf = R.build_ivf(x, nlist=nlist, iters=8, quant="int8")
+    jax.block_until_ready(ivf.packed)
+    build_s = time.time() - t0
+
+    out = {}
+    for nprobe in (8, 16, 32):
+        _, ids = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                              jnp.asarray(q), k=10, nprobe=nprobe,
+                              pscale=ivf.pscale)
+        ids = np.asarray(ids)
+        recall = np.mean([
+            len(set(ids[r]) & set(gt[r])) / 10 for r in range(nq)])
+        qd = jnp.asarray(q[:Q])
+        s, i = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                            qd, k=10, nprobe=nprobe, pscale=ivf.pscale)
+        jax.block_until_ready(i)
+        t0 = time.time()
+        for _ in range(rounds):
+            s, i = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                                qd, k=10, nprobe=nprobe, pscale=ivf.pscale)
+        jax.block_until_ready(i)
+        qps = Q * rounds / (time.time() - t0)
+        out[nprobe] = (round(recall, 4), round(qps, 1))
+
+    best = max(out.items(), key=lambda kv: (kv[1][1] >= 10000, kv[1][0]))
+    print(json.dumps({
+        "metric": f"ivf_int8_qps_{N // 1000000}M_d{D}_nprobe{best[0]}",
+        "value": best[1][1],
+        "unit": "qps",
+        "vs_baseline": round(best[1][1] / 10000.0, 2),
+    }))
+    print(json.dumps({"detail": {
+        "recall_qps_by_nprobe": {str(k): v for k, v in out.items()},
+        "nlist": nlist, "cap": ivf.cap, "gen_s": round(gen_s, 1),
+        "ground_truth_s": round(gt_s, 1), "build_s": round(build_s, 1),
+        "device": str(jax.devices()[0]),
+    }}), file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -215,5 +288,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "retrieval":
         bench_retrieval()
+    elif os.environ.get("BENCH_MODE") == "ivf":
+        bench_ivf()
     else:
         main()

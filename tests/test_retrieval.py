@@ -150,3 +150,36 @@ def test_retrieval_http_and_rag(tmp_path_factory):
             await server.middleware.unload()
 
     asyncio.run(main())
+
+
+def test_int8_ivf_matches_bf16_recall():
+    """int8-coded IVF (the 10M-scale storage mode) retrieves like the
+    bf16 IVF: both find the true nearest neighbor (self-recall on
+    perturbed queries) at >= 90%."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    q = x[:32] + 0.01 * rng.standard_normal((32, 64)).astype(np.float32)
+
+    bf = R.build_ivf(x, nlist=16, iters=8)
+    q8 = R.build_ivf(x, nlist=16, iters=8, quant="int8")
+    assert q8.packed.dtype == jnp.int8 and q8.pscale is not None
+    want = np.arange(32)
+    for ivf, ps in ((bf, None), (q8, q8.pscale)):
+        _, ids = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                              jnp.asarray(q), k=5, nprobe=4, pscale=ps)
+        recall1 = np.mean(np.asarray(ids)[:, 0] == want)
+        assert recall1 >= 0.9, recall1
+
+
+def test_exact_search_chunked_matches_whole():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    q = x[:8] + 0.01 * rng.standard_normal((8, 64)).astype(np.float32)
+    s_all, i_all = R.exact_search(jnp.asarray(x, jnp.bfloat16),
+                                  jnp.asarray(q, jnp.bfloat16), k=10)
+    s_chk, i_chk = R.exact_search_chunked(x, q, k=10, chunk=1234)
+    # bf16 score ties can reorder; compare the ID SETS per row.
+    for r in range(8):
+        assert len(set(np.asarray(i_all)[r]) & set(i_chk[r])) >= 9

@@ -355,12 +355,19 @@ def test_mirostat_sampler_has_no_penalties():
 
 
 def test_top_k_zero_means_uncapped():
+    """top_k = 0 (or beyond the cap) is preserved and routes the batch to
+    the full-vocab sampler bucket (nucleus.rs:69-134 honors arbitrary k);
+    small values take the fast partial-sort path."""
+    V = 65536
     spec = SamplerSpec(top_k=0)
-    assert spec.row_params()["top_k"] == sampling.TOP_K_CAP
+    assert spec.row_params()["top_k"] == 0
+    assert sampling.k_cap_key([0], V) == V
     spec = SamplerSpec(top_k=10**9)
-    assert spec.row_params()["top_k"] == sampling.TOP_K_CAP
+    assert spec.row_params()["top_k"] == 10**9
+    assert sampling.k_cap_key([10**9], V) == V
     spec = SamplerSpec(top_k=7)
     assert spec.row_params()["top_k"] == 7
+    assert sampling.k_cap_key([7], V) == 128
 
 
 def test_abort_mid_prefill_accounts_fed_chunk(stack):
