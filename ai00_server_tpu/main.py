@@ -107,22 +107,49 @@ async def amain(argv=None):
     port = args.port or config.listen.port
 
     # Reference listener semantics (main.rs:325-332): a non-"local" domain
-    # forces TLS; acme requests automatic certificates.  This build has no
-    # ACME/QUIC stack — it falls back to the manual rustls-style certs and
-    # says so loudly (VERDICT r1: log-and-document unsupported features).
+    # forces TLS; acme requests automatic certificates.  The native ACME
+    # http-01 client (server/acme.py) provisions them; failures fall back
+    # to the configured certificate files.  (QUIC/HTTP3 remains
+    # unsupported — TCP+TLS only.)
     acme = config.listen.acme and config.listen.domain != "local"
     tls = config.listen.tls or config.listen.domain != "local"
+    cert_file, key_file = config.listen.tls_cert, config.listen.tls_key
     if acme:
-        log.warning(
-            "listen.acme is not supported by this build (no ACME client / "
-            "QUIC); using the certificate files %s / %s instead — "
-            "provision them externally (e.g. certbot)",
-            config.listen.tls_cert, config.listen.tls_key)
+        from .server import acme as acme_mod
+
+        store = acme_mod.ChallengeStore()
+        routes = acme_mod.challenge_routes(store)
+        server.app.add_routes(routes)  # in case :80 routes to the app
+        client = acme_mod.AcmeClient(
+            config.listen.domain,
+            cert_dir=os.path.dirname(cert_file) or "assets/certs",
+            directory_url=config.listen.acme_directory or acme_mod.LETSENCRYPT,
+            challenges=store,
+            contact=config.listen.acme_contact or None)
+        # Plain-HTTP :80 responder for the CA's validation fetch.
+        http80 = web.Application()
+        http80.add_routes(acme_mod.challenge_routes(store))
+        runner80 = web.AppRunner(http80)
+        await runner80.setup()
+        try:
+            await web.TCPSite(runner80, ip, 80).start()
+        except OSError as e:
+            log.warning("acme: cannot bind :80 for http-01 (%s); relying "
+                        "on an external route to /.well-known/"
+                        "acme-challenge/", e)
+        try:
+            cert_file, key_file = await client.ensure_certificate()
+        except Exception:
+            log.exception(
+                "acme: certificate provisioning failed; falling back to "
+                "the configured files %s / %s", cert_file, key_file)
+        finally:
+            await runner80.cleanup()
 
     ssl_ctx = None
     if tls:
         ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-        ssl_ctx.load_cert_chain(config.listen.tls_cert, config.listen.tls_key)
+        ssl_ctx.load_cert_chain(cert_file, key_file)
 
     runner = web.AppRunner(server.app)
     await runner.setup()

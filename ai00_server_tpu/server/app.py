@@ -480,6 +480,10 @@ class Server:
                 state = msg[1]
             elif msg[0] == "stop":
                 counter = msg[2]
+        if state is None:
+            # Aborted before the state read (e.g. unload/drain race).
+            return web.json_response(
+                {"error": "state extraction aborted"}, status=500)
         flat = packing.pack_state(env.model.info, state)
         shape = packing.state_shape(env.model.info)
         return web.json_response({

@@ -51,6 +51,11 @@ class ListenerOption:
     app_keys: list[AppKey] = field(default_factory=lambda: [AppKey()])
     tls_cert: str = "assets/certs/cert.pem"
     tls_key: str = "assets/certs/key.pem"
+    # ACME (RFC 8555 http-01, server/acme.py).  Empty directory selects
+    # Let's Encrypt production; point at a staging/mock directory for
+    # testing.  The reference's rustls-acme equivalent: main.rs:320-423.
+    acme_directory: str = ""
+    acme_contact: str = ""
 
 
 @dataclass
@@ -85,7 +90,8 @@ class Config:
         lst = raw.get("listen", {})
         lo = ListenerOption()
         for k in ("domain", "ip", "port", "acme", "tls", "force_pass",
-                  "slot", "expire_sec", "tls_cert", "tls_key"):
+                  "slot", "expire_sec", "tls_cert", "tls_key",
+                  "acme_directory", "acme_contact"):
             if k in lst:
                 setattr(lo, k, lst[k])
         if "app_keys" in lst:
@@ -113,6 +119,10 @@ class Config:
                     {"app_id": k.app_id, "secret_key": k.secret_key}
                     for k in self.listen.app_keys
                 ],
+                "tls_cert": self.listen.tls_cert,
+                "tls_key": self.listen.tls_key,
+                "acme_directory": self.listen.acme_directory,
+                "acme_contact": self.listen.acme_contact,
             },
         }
         if self.lora:

@@ -92,6 +92,8 @@ def main():
             out_specs=pl.BlockSpec((B, C), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(x, w)
 
     # ---- clamp: 6 inputs, each active for NT steps of a (G,) grid,
@@ -158,11 +160,15 @@ def main():
                         else:
                             o_ref[:] = o_ref[:] + part
 
+        nbufs = int(os.environ.get("PROBE_BUFS", "2"))
+
         def mk_spec(n):
             def imap(i, _n=n):
                 t = jnp.clip(i - _n * NT, 0, NT - 1)
                 return (t, 0, 0)
-            return pl.BlockSpec((1, R, C), imap)
+            return pl.BlockSpec((1, R, C), imap,
+                                pipeline_mode=pl.Buffered(
+                                    buffer_count=nbufs))
 
         pipeline = pltpu.emit_pipeline(
             body,
@@ -225,7 +231,7 @@ def main():
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        o_ref[:] = o_ref[:] + x_ref[0, 0]
+        o_ref[:, :1] = o_ref[:, :1] + x_ref[:, :1].astype(jnp.float32)
 
     @jax.jit
     def run_empty(x):
