@@ -160,7 +160,16 @@ def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
     return acc
 
 
-def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
+def _ablate() -> str:
+    """Diagnostic: AI00_PHASED_ABLATE=dma strips every compute body to a
+    minimal window touch (same BlockSpecs, same DMA schedule) to
+    separate DMA-pattern cost from compute cost on real hardware."""
+    import os
+
+    return os.environ.get("AI00_PHASED_ABLATE", "")
+
+
+def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
     nf = 4 * na
     ng = H // Hc
 
@@ -181,6 +190,28 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc):
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
         (x_scr, vf_scr, xr_scr, xk_scr, xv_scr, yg_scr, racc, kacc, vacc,
          oacc, hk_scr, kk_scr, aux_scr) = refs[idx + 4:]
+
+        if ablate == "dma":
+            # Same BlockSpecs/DMA schedule, near-zero compute: reduce
+            # one (1,1) scalar from every input window into the output
+            # so no DMA is dead-code-eliminated.
+            def _touch(ref):
+                v = ref[...].astype(jnp.float32)
+                while v.ndim > 2:
+                    v = jnp.sum(v, axis=0)
+                return jnp.sum(jnp.sum(v, axis=0, keepdims=True),
+                               axis=1, keepdims=True)     # (1, 1)
+
+            tot = _touch(x0_ref) + _touch(active_ref)
+            tot = tot + _touch(att_x_ref) + _touch(wkv_ref) \
+                + _touch(ffn_x_ref)
+            for kk in small:
+                tot = tot + _touch(small[kk])
+            for kk in big:
+                tot = tot + _touch(big[kk])
+            xout_ref[0:1, 0:1] = (xout_ref[0:1, 0:1].astype(jnp.float32)
+                                  + tot).astype(xout_ref.dtype)
+            return
 
         l = pl.program_id(0)
         w = pl.program_id(1)
@@ -515,7 +546,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
                pltpu.VMEM((5, B, C), jnp.float32)]       # aux (wdec,a,g,rk,ln1)
 
     x_final, natt, nwkv, nffn = pl.pallas_call(
-        _kernel(H, N, na, F, cd, qmode, Hc),
+        _kernel(H, N, na, F, cd, qmode, Hc, ablate=_ablate()),
         grid=(L, 12 * na + ng),
         in_specs=in_specs,
         out_specs=out_specs,

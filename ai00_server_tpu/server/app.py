@@ -500,9 +500,21 @@ class Server:
 
     async def _embed_texts(self, env, texts: list[str],
                            state_field=None) -> np.ndarray:
-        """Model-derived sentence embeddings: the final-layer token-shift
-        state (last hidden features) per input, L2-normalized.  Texts are
-        submitted concurrently — the runtime batches them across slots."""
+        """Model-derived sentence embeddings from the full RWKV state
+        (the RNN's whole memory of the text), L2-normalized to 3C dims:
+
+          [ mean over layers of att_x  |  mean over layers of ffn_x  |
+            mean over layers+rows of the wkv outer-product state ]
+
+        each component unit-normalized before the concat so the wkv
+        magnitudes (which grow with sequence length) cannot drown the
+        shift states.  The wkv read is the uniform-query readout
+        sum_k state[.., v, k] — whole-sequence context, unlike a
+        token-shift state's one-token memory.  Texts are submitted
+        concurrently — the runtime batches them across slots.
+        (Reference: states endpoint returns this same full state raw,
+        run.rs:984-989; the embeddings endpoint is this build's native
+        replacement for the retired RWKV-layer-embeddings API.)"""
         state_id = await self._resolve_state(env, state_field)
         handles = []
         for text in texts:
@@ -516,11 +528,18 @@ class Server:
             async for msg in handle:
                 if msg[0] == "embed":
                     state = msg[1]
-            vec = np.asarray(state["ffn_x"], np.float32)[-1, 0]
-            norm = float(np.linalg.norm(vec))
-            if norm > 0:
-                vec = vec / norm
-            vecs.append(vec)
+            if state is None:
+                raise RuntimeError("embedding aborted before state read")
+            parts = []
+            att = np.asarray(state["att_x"], np.float32)  # (L, 1, C)
+            ffn = np.asarray(state["ffn_x"], np.float32)
+            parts.append(att.mean(axis=(0, 1)))
+            parts.append(ffn.mean(axis=(0, 1)))
+            wkv = np.asarray(state["wkv"], np.float32)    # (L, H, N, N)
+            parts.append(wkv.sum(axis=-1).mean(axis=0).reshape(-1))
+            vec = np.concatenate([
+                p / max(float(np.linalg.norm(p)), 1e-12) for p in parts])
+            vecs.append(vec / max(float(np.linalg.norm(vec)), 1e-12))
         return np.stack(vecs)
 
     async def embeddings(self, request: web.Request):

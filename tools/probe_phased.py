@@ -53,7 +53,8 @@ def main():
             model.surrogate_modes = qm.surrogate_group(params)
     assert pd.can_phase(params, batch=B), "can_phase rejected this shape"
     mode, Cg, F, H, N = pd._geometry(params)
-    na = pd.pick_na(Cg, F, H, N, B, 1 if mode == "int8" else 2)
+    na = int(os.environ.get("PROBE_NA", "0")) or \
+        pd.pick_na(Cg, F, H, N, B, 1 if mode == "int8" else 2)
     print(f"mode={mode} C={Cg} F={F} H={H} na={na}", file=sys.stderr)
     params = dict(params)
     params[fd.FUSED_KEY] = fd.make_fused_layout(model.params)
@@ -73,7 +74,7 @@ def main():
     h_ref, s_ref = jax.jit(v7.forward)(model.params, state, t1, l1)
     os.environ.pop("AI00_FUSED_DECODE", None)
     t0 = time.time()
-    h_p, s_p = pd.forward_t1(params, state, t1, l1)
+    h_p, s_p = pd.forward_t1(params, state, t1, l1, na=na)
     jax.block_until_ready(h_p)
     print(f"phased compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     dh = float(jnp.max(jnp.abs(h_p.astype(jnp.float32)
@@ -90,7 +91,7 @@ def main():
     def chain_phased(p, state, tok):
         def body(i, carry):
             state, tok = carry
-            h, state = pd.forward_t1(p, state, tok, l1)
+            h, state = pd.forward_t1(p, state, tok, l1, na=na)
             nt = jnp.argmax(
                 jnp.dot(h[:, 0], p["head"].astype(h.dtype)),
                 axis=-1).astype(jnp.int32)[:, None]
