@@ -160,18 +160,52 @@ def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
     return acc
 
 
-def _ablate() -> str:
-    """Diagnostic: AI00_PHASED_ABLATE=dma strips every compute body to a
-    minimal window touch (same BlockSpecs, same DMA schedule) to
-    separate DMA-pattern cost from compute cost on real hardware."""
+def _ablate() -> frozenset:
+    """Diagnostic: AI00_PHASED_ABLATE is a comma list for bisecting the
+    kernel's cost on real hardware.  "dma" strips the compute body to a
+    minimal window touch (same BlockSpecs, same DMA schedule); the
+    remaining flags drop spec groups (only meaningful with dma, the
+    result is numerically wrong): "nostate" removes the att/wkv/ffn
+    state windows (inputs AND outputs), "nosmalls" removes the 13
+    per-layer small inputs, "noalias" keeps the state windows but drops
+    the wkv input_output_alias, "nobig" removes the weight windows."""
     import os
 
-    return os.environ.get("AI00_PHASED_ABLATE", "")
+    v = os.environ.get("AI00_PHASED_ABLATE", "")
+    return frozenset(p for p in v.split(",") if p)
 
 
-def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
+def _only() -> frozenset | None:
+    """AI00_PHASED_ONLY=dots+entry runs the full specs/DMA schedule but
+    keeps only the named compute-phase groups (entry, dots, wkv, epi) —
+    numerically wrong, for attributing compute cost on hardware."""
+    import os
+
+    v = os.environ.get("AI00_PHASED_ONLY", "")
+    if not v:
+        return None
+    return frozenset(v.split("+"))
+
+
+def _grid_mode() -> str:
+    """AI00_PHASED_GRID=2d keeps the (L, W) grid; default is the flat
+    (L*W,) grid — Mosaic's skip-copy-when-window-index-unchanged
+    optimization only engages on a 1-D grid with these clamped index
+    maps (measured 2.86B: 108.8 ms/step 2-D vs generic 14.2; the same
+    window pattern on a 1-D grid streams at ~712 GB/s,
+    tools/probe_pipeline.py)."""
+    import os
+
+    return os.environ.get("AI00_PHASED_GRID", "flat")
+
+
+def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None):
     nf = 4 * na
     ng = H // Hc
+    W = 12 * na + ng
+
+    def keep(group):
+        return only is None or group in only
 
     def kernel(*refs):
         (x0_ref, active_ref, att_x_ref, wkv_ref, ffn_x_ref) = refs[:5]
@@ -191,30 +225,13 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
         (x_scr, vf_scr, xr_scr, xk_scr, xv_scr, yg_scr, racc, kacc, vacc,
          oacc, hk_scr, kk_scr, aux_scr) = refs[idx + 4:]
 
-        if ablate == "dma":
-            # Same BlockSpecs/DMA schedule, near-zero compute: reduce
-            # one (1,1) scalar from every input window into the output
-            # so no DMA is dead-code-eliminated.
-            def _touch(ref):
-                v = ref[...].astype(jnp.float32)
-                while v.ndim > 2:
-                    v = jnp.sum(v, axis=0)
-                return jnp.sum(jnp.sum(v, axis=0, keepdims=True),
-                               axis=1, keepdims=True)     # (1, 1)
-
-            tot = _touch(x0_ref) + _touch(active_ref)
-            tot = tot + _touch(att_x_ref) + _touch(wkv_ref) \
-                + _touch(ffn_x_ref)
-            for kk in small:
-                tot = tot + _touch(small[kk])
-            for kk in big:
-                tot = tot + _touch(big[kk])
-            xout_ref[0:1, 0:1] = (xout_ref[0:1, 0:1].astype(jnp.float32)
-                                  + tot).astype(xout_ref.dtype)
-            return
-
-        l = pl.program_id(0)
-        w = pl.program_id(1)
+        if flat:
+            i = pl.program_id(0)
+            l = i // W
+            w = i % W
+        else:
+            l = pl.program_id(0)
+            w = pl.program_id(1)
         cd = compute_dtype
         active = active_ref[:] > 0                    # (B, 1)
         B = x0_ref.shape[0]
@@ -231,7 +248,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
             return big.get(name + "_s") if qmode == "int8" else None
 
         # ---- layer entry: ln1, token-shift mixes, lora branches ----
-        @pl.when(w == 0)
+        @pl.when((w == 0) & keep("entry"))
         def _():
             @pl.when(l == 0)
             def _():
@@ -282,14 +299,14 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
                                      ("Wk", xk_scr, kacc, na),
                                      ("Wv", xv_scr, vacc, 2 * na)):
             for t in range(na):
-                @pl.when(w == lo + t)
+                @pl.when((w == lo + t) & keep("dots"))
                 def _(name=name, xsrc=xsrc, accr=accr, t=t):
                     part = _tiled_dot(xsrc, t * Kt, Kt, big[name],
                                       sref(name), cd)
                     _acc_add(accr, part, t == 0)
 
         # ---- WKV prologue (once, before the first head-group step) ----
-        @pl.when(w == 3 * na)
+        @pl.when((w == 3 * na) & (keep("wkv") | keep("wkvpro")))
         def _():
             k = kacc[:].astype(cd).astype(jnp.float32)
             v = vacc[:].astype(cd).astype(jnp.float32)
@@ -321,55 +338,81 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
         # ---- WKV + GroupNorm + bonus, one head GROUP per step: the
         # (B, Hc, N, N) state window streams per group, so whole-layer
         # state VMEM is never needed ----
+        # One pass per head GROUP, fully vectorized: the state math runs
+        # as fused (Hc, B, N, N) passes.  (A per-head loop is ~7x
+        # slower for the whole kernel: half-lane (.., 64) ops plus an
+        # unaligned lane shuffle for every odd head's 64-offset slice —
+        # measured 18.2 vs 2.7 ms/step at 2.86B geometry.)  The seven
+        # per-head C-vector segments cross from lane-layout (B, GW)
+        # into head-major (Hc, B, N) via ONE stacked MXU transpose
+        # chain — Mosaic has no lane-splitting shape cast
+        # ((B, GW) -> (B, Hc, 1, N) fails to lower), but 2-D
+        # transposes, row-group reshapes, and minor-two-dim swaps all
+        # lower natively.
+        GW = Hc * N
         for g in range(ng):
-            @pl.when(w == 3 * na + g)
+            @pl.when((w == 3 * na + g) & (keep("wkv") | keep("wkvg")))
             def _(g=g):
-                r = racc[:].astype(cd).astype(jnp.float32)
-                wdec = aux_scr[0]
-                a = aux_scr[1]
-                rk = aux_scr[3]
-                v2 = vacc[:]
-                k2m = kacc[:]
-                for hh in range(Hc):
-                    h = g * Hc + hh
-                    sl = slice(h * N, (h + 1) * N)
-                    kk_h = kk_scr[:, sl]
-                    kk_h = kk_h / jnp.maximum(
-                        jnp.sqrt(jnp.sum(kk_h * kk_h, axis=-1,
-                                         keepdims=True)), 1e-12)
-                    kk_h = kk_h.astype(cd).astype(jnp.float32)
-                    s = wkv_ref[0][:, hh]             # (B, N, N) f32
-                    skk = jnp.sum(s * kk_h[:, None, :], axis=-1)
-                    s_new = (s * wdec[:, sl][:, None, :]
-                             - skk[:, :, None]
-                             * (kk_h * a[:, sl])[:, None, :]
-                             + v2[:, sl][:, :, None]
-                             * k2m[:, sl][:, None, :])
-                    nwkv_ref[0, :, hh] = s_new.astype(nwkv_ref.dtype)
-                    y_h = jnp.sum(s_new * r[:, sl][:, None, :], axis=-1)
-                    mean = jnp.mean(y_h, axis=-1, keepdims=True)
-                    var = jnp.var(y_h, axis=-1, keepdims=True)
-                    yg_scr[:, sl] = (y_h - mean) \
-                        * jax.lax.rsqrt(var + GN_EPS)
-                    oacc[:, sl] = jnp.sum(rk[:, sl], axis=-1,
-                                          keepdims=True) * v2[:, sl]
+                gsl = slice(g * GW, (g + 1) * GW)
+                stacked = jnp.concatenate([
+                    kk_scr[:, gsl],      # 0: kk   (j-indexed)
+                    aux_scr[0][:, gsl],  # 1: wdec (j)
+                    aux_scr[1][:, gsl],  # 2: a    (j)
+                    kacc[:, gsl],        # 3: masked k2 (j)
+                    racc[:, gsl],        # 4: r    (j)
+                    aux_scr[3][:, gsl],  # 5: rk bonus (j)
+                    vacc[:, gsl],        # 6: v2   (i-indexed)
+                ], axis=0)                         # (7B, GW)
+                t = jnp.transpose(stacked)         # (GW, 7B)   MXU
+                t = t.reshape(Hc, N, 7 * B)        # row split
+                t = jnp.swapaxes(t, -1, -2)        # (Hc, 7B, N)
+
+                def v4(i):                         # (Hc, B, 1, N)
+                    return t[:, i * B:(i + 1) * B][:, :, None, :]
+
+                kk4 = v4(0)
+                kk4 = kk4 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(kk4 * kk4, axis=-1,
+                                     keepdims=True)), 1e-12)
+                kk4 = kk4.astype(cd).astype(jnp.float32)
+                r4 = v4(4).astype(cd).astype(jnp.float32)
+                v24 = jnp.swapaxes(v4(6), -1, -2)  # (Hc, B, N, 1): i
+                s = jnp.swapaxes(wkv_ref[0], 0, 1)  # (Hc, B, N, N)
+                skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
+                s_new = (s * v4(1)
+                         - skk * (kk4 * v4(2))
+                         + v24 * v4(3))
+                nwkv_ref[0] = jnp.swapaxes(s_new, 0, 1
+                                           ).astype(nwkv_ref.dtype)
+                y = jnp.sum(s_new * r4, axis=-1)   # (Hc, B, N): i-lanes
+                mean = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.var(y, axis=-1, keepdims=True)
+                yn = (y - mean) * jax.lax.rsqrt(var + GN_EPS)
+                rksum = jnp.sum(v4(5), axis=-1)    # (Hc, B, 1)
+                ob = rksum * v24[..., 0]           # (Hc, B, N) bonus
+                # Reverse relayout: (Hc, 2B, N) -> (2B, GW).
+                o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=1),
+                                 -1, -2)           # (Hc, N, 2B)
+                o = jnp.transpose(o.reshape(GW, 2 * B))   # (2B, GW)
+                yg_scr[:, gsl] = o[:B]
+                oacc[:, gsl] = o[B:]
 
         # ---- epilogue + output projection tiles ----
-        @pl.when(w == 3 * na + ng)
+        @pl.when((w == 3 * na + ng) & keep("epi"))
         def _():
             g_gate = aux_scr[2]
             yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
             yg_scr[:] = yf * g_gate
 
         for t in range(na):
-            @pl.when(w == 3 * na + ng + t)
+            @pl.when((w == 3 * na + ng + t) & keep("dots"))
             def _(t=t):
                 part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"],
                                   sref("Wo"), cd)
                 _acc_add(oacc, part, t == 0)
 
         # ---- ffn entry: residual add + ln2 ----
-        @pl.when(w == 4 * na + ng)
+        @pl.when((w == 4 * na + ng) & keep("epi"))
         def _():
             x = x_scr[:] + oacc[:]
             x_scr[:] = x
@@ -384,14 +427,14 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
 
         # ---- ffn key tiles (accumulate the (B, F) hidden) ----
         for t in range(nf):
-            @pl.when(w == 4 * na + ng + t)
+            @pl.when((w == 4 * na + ng + t) & keep("dots"))
             def _(t=t):
                 part = _tiled_dot(xr_scr, t * Ktf, Ktf, big["fkey"],
                                   sref("fkey"), cd)
                 _acc_add(hk_scr, part, t == 0)
 
         # ---- relu^2 ----
-        @pl.when(w == 8 * na + ng)
+        @pl.when((w == 8 * na + ng) & keep("epi"))
         def _():
             hk = hk_scr[:]
             hk_scr[:] = jnp.square(jnp.maximum(hk, 0.0)
@@ -399,7 +442,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
 
         # ---- ffn value tiles ----
         for t in range(nf):
-            @pl.when(w == 8 * na + ng + t)
+            @pl.when((w == 8 * na + ng + t) & keep("dots"))
             def _(t=t):
                 part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
                                   sref("fval"), cd)
@@ -410,7 +453,9 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, ablate=""):
             x = x_scr[:] + racc[:]
             x_scr[:] = x
 
-            @pl.when(l == pl.num_programs(0) - 1)
+            nl = (pl.num_programs(0) // W) if flat else pl.num_programs(0)
+
+            @pl.when(l == nl - 1)
             def _():
                 xout_ref[:] = x.astype(xout_ref.dtype)
 
@@ -452,15 +497,31 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
     Hc = min(HEAD_GROUP, H)
     ng = H // Hc
 
+    W = 12 * na + ng
+    flat = _grid_mode() != "2d"
+
+    def gwrap(f):
+        """Index maps are written in (l, w); the flat 1-D grid (the
+        default — see _grid_mode) derives them from the single id."""
+        if not flat:
+            return f
+
+        def g(i, _f=f):
+            return _f(i // W, i % W)
+
+        return g
+
     def const_spec(arr):
         nd = arr.ndim
-        return pl.BlockSpec(arr.shape, lambda l, w, _nd=nd: (0,) * _nd,
+        return pl.BlockSpec(arr.shape,
+                            gwrap(lambda l, w, _nd=nd: (0,) * _nd),
                             memory_space=pltpu.VMEM)
 
     def lspec(arr):
         blk = (1,) + arr.shape[1:]
         nd = len(blk) - 1
-        return pl.BlockSpec(blk, lambda l, w, _nd=nd: (l,) + (0,) * _nd,
+        return pl.BlockSpec(blk,
+                            gwrap(lambda l, w, _nd=nd: (l,) + (0,) * _nd),
                             memory_space=pltpu.VMEM)
 
     def win_spec(arr, lo, count, rows):
@@ -476,7 +537,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
                 t = jnp.clip(w - lo, 0, count - 1)
                 return (l, t, 0)
 
-            return pl.BlockSpec((1, blk_rows, arr.shape[2]), imap,
+            return pl.BlockSpec((1, blk_rows, arr.shape[2]), gwrap(imap),
                                 memory_space=pltpu.VMEM)
         nbw = rows // arr.shape[2]
 
@@ -484,8 +545,8 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
             t = jnp.clip(w - lo, 0, count - 1)
             return (l, t, 0, 0)
 
-        return pl.BlockSpec((1, nbw, arr.shape[2], arr.shape[3]), imap4,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, nbw, arr.shape[2], arr.shape[3]),
+                            gwrap(imap4), memory_space=pltpu.VMEM)
 
     def wkv_spec():
         """Per-head-group wkv window: (1, B, Hc, N, N), group index
@@ -495,20 +556,27 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
             g = jnp.clip(w - 3 * na, 0, ng - 1)
             return (l, 0, g, 0, 0)
 
-        return pl.BlockSpec((1, B, Hc, N, N), imap,
+        return pl.BlockSpec((1, B, Hc, N, N), gwrap(imap),
                             memory_space=pltpu.VMEM)
 
-    in_arrays = [x0, active, state["att_x"], state["wkv"], state["ffn_x"]]
-    in_specs = [const_spec(x0), const_spec(active),
-                lspec(state["att_x"]), wkv_spec(),
-                lspec(state["ffn_x"])]
-    for k in _SMALL_KEYS:
+    abl = _ablate()
+    with_state = "nostate" not in abl
+    with_smalls = "nosmalls" not in abl
+    with_big = "nobig" not in abl
+
+    in_arrays = [x0, active]
+    in_specs = [const_spec(x0), const_spec(active)]
+    if with_state:
+        in_arrays += [state["att_x"], state["wkv"], state["ffn_x"]]
+        in_specs += [lspec(state["att_x"]), wkv_spec(),
+                     lspec(state["ffn_x"])]
+    for k in (_SMALL_KEYS if with_smalls else ()):
         in_arrays.append(fused[k])
         in_specs.append(lspec(fused[k]))
     ranges = {"Wr": (0, na, Kt), "Wk": (na, na, Kt), "Wv": (2 * na, na, Kt),
               "Wo": (3 * na + ng, na, Kt), "fkey": (4 * na + ng, nf, Ktf),
               "fval": (8 * na + ng, nf, Ktv)}
-    for k in _ATT + _FFN:
+    for k in (_ATT + _FFN if with_big else ()):
         warr, sarr = _big_entries(fused, k)
         lo, count, rows = ranges[k]
         in_arrays.append(warr)
@@ -522,22 +590,21 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
                 return (l, t, 0, 0)
 
             in_specs.append(pl.BlockSpec(
-                (1, nbw, 1, sarr.shape[3]), smap,
+                (1, nbw, 1, sarr.shape[3]), gwrap(smap),
                 memory_space=pltpu.VMEM))
 
     sd = state["wkv"].dtype
-    out_shape = [
-        jax.ShapeDtypeStruct((B, C), cd),
-        jax.ShapeDtypeStruct(state["att_x"].shape, sd),
-        jax.ShapeDtypeStruct(state["wkv"].shape, sd),
-        jax.ShapeDtypeStruct(state["ffn_x"].shape, sd),
-    ]
-    out_specs = [
-        pl.BlockSpec((B, C), lambda l, w: (0, 0), memory_space=pltpu.VMEM),
-        lspec(state["att_x"]),
-        wkv_spec(),
-        lspec(state["ffn_x"]),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((B, C), cd)]
+    out_specs = [pl.BlockSpec((B, C), gwrap(lambda l, w: (0, 0)),
+                              memory_space=pltpu.VMEM)]
+    if with_state:
+        out_shape += [
+            jax.ShapeDtypeStruct(state["att_x"].shape, sd),
+            jax.ShapeDtypeStruct(state["wkv"].shape, sd),
+            jax.ShapeDtypeStruct(state["ffn_x"].shape, sd),
+        ]
+        out_specs += [lspec(state["att_x"]), wkv_spec(),
+                      lspec(state["ffn_x"])]
 
     scratch = [pltpu.VMEM((B, C), jnp.float32)          # x_scr
                ] + [pltpu.VMEM((B, C), jnp.float32)] * 9 + [
@@ -545,20 +612,43 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
                pltpu.VMEM((B, C), jnp.float32),          # kk_scr
                pltpu.VMEM((5, B, C), jnp.float32)]       # aux (wdec,a,g,rk,ln1)
 
-    x_final, natt, nwkv, nffn = pl.pallas_call(
-        _kernel(H, N, na, F, cd, qmode, Hc, ablate=_ablate()),
-        grid=(L, 12 * na + ng),
+    if "dma" in abl:
+        # Bisection mode: EMPTY body (same specs => same DMA schedule,
+        # the auto-pipeline fetches blocks per spec regardless of body
+        # reads) — isolates DMA-pattern cost from compute.
+        n_in = len(in_arrays)
+
+        def kernel(*refs):
+            refs[n_in][0:1, 0:1] = refs[0][0:1, 0:1].astype(
+                refs[n_in].dtype)
+            if with_state:
+                pass  # state outputs left unwritten on purpose
+    else:
+        kernel = _kernel(H, N, na, F, cd, qmode, Hc, flat=flat,
+                         only=_only())
+
+    # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
+    # in-place — the kernel reads each head's block before writing it.
+    io_alias = {}
+    if with_state and "noalias" not in abl:
+        io_alias = {3: 2}
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L * W,) if flat else (L, W),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
-        # in-place — the kernel reads each head's block before writing it.
-        input_output_aliases={3: 2},
+        input_output_aliases=io_alias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*in_arrays)
+    if with_state:
+        x_final, natt, nwkv, nffn = outs
+    else:
+        (x_final,) = outs
+        natt, nwkv, nffn = state["att_x"], state["wkv"], state["ffn_x"]
 
     from ..models.common import layer_norm
 

@@ -194,32 +194,41 @@ def main():
                    wbig.astype(jnp.float32)))
 
     def timed(name, fn, *args):
-        """Tunnel-safe timing: chain `reps` kernel calls inside ONE jit
-        with a real data dependence (x perturbed by the previous output)
-        so device time, not dispatch RTT, is measured."""
+        """Tunnel-safe timing: chain the kernel inside ONE jit with a
+        real data dependence, at TWO chain lengths; the slope
+        (t_long - t_short)/(n_long - n_short) cancels the dispatch RTT
+        exactly (30-114 ms through the tunnel — dividing a single
+        dispatch by reps is NOT enough for sub-ms kernels)."""
         out = fn(x, *args)
         jax.block_until_ready(out)
         err = float(np.max(np.abs(np.asarray(out) - ref))
                     / max(1e-9, float(np.max(np.abs(ref)))))
 
-        @jax.jit
-        def chain(x0, *args):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(x0, *args, n=reps):
             def body(i, carry):
                 xc, acc = carry
                 out = fn(xc, *args)
                 xc = xc + (out[:, :R] * 1e-8).astype(xc.dtype)
                 return (xc, acc + out[0, 0])
-            return jax.lax.fori_loop(0, reps, body, (x0, jnp.float32(0)))
+            return jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0)))
 
-        o = chain(x, *args)
-        jax.block_until_ready(o[1])
-        t0 = time.time()
-        o = chain(x, *args)
-        jax.block_until_ready(o[1])
-        dt = (time.time() - t0) / reps
+        n1, n2 = reps, 5 * reps
+        ts = {}
+        for n in (n1, n2):
+            o = chain(x, *args, n=n)
+            jax.block_until_ready(o[1])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                o = chain(x, *args, n=n)
+                jax.block_until_ready(o[1])
+                best = min(best, time.time() - t0)
+            ts[n] = best
+        dt = (ts[n2] - ts[n1]) / (n2 - n1)
         bw = total_bytes / dt / 1e9
         print(f"{name}: {dt*1e3:.3f} ms  ({bw:.0f} GB/s useful)  "
-              f"relerr={err:.2e}")
+              f"relerr={err:.2e}  [raw {ts[n1]*1e3:.1f}/{ts[n2]*1e3:.1f}ms]")
         return dt
 
     # ---- empty: same grid length, NO windowed input at all -> pure
@@ -247,26 +256,7 @@ def main():
 
     only = os.environ.get("PROBE_ONLY")
     if only == "empty":
-        timed_empty = run_empty(x)
-        jax.block_until_ready(timed_empty)
-
-        @jax.jit
-        def chain(x0):
-            def body(i, carry):
-                xc, acc = carry
-                out = run_empty(xc)
-                xc = xc + (out[:, :R] * 1e-8).astype(xc.dtype)
-                return (xc, acc + out[0, 0])
-            return jax.lax.fori_loop(0, reps, body, (x0, jnp.float32(0)))
-
-        o = chain(x)
-        jax.block_until_ready(o[1])
-        t0 = time.time()
-        o = chain(x)
-        jax.block_until_ready(o[1])
-        dt = (time.time() - t0) / reps
-        print(f"empty: {dt*1e3:.3f} ms for {NW} steps "
-              f"({dt/NW*1e6:.1f} us/step)")
+        timed("empty", run_empty)
         return
     if not only or only == "const":
         timed("const", run_const, wbig)
