@@ -750,6 +750,13 @@ class Server:
 
     async def admin_load(self, request: web.Request):
         body = await request.json()
+        if "tokenizer_path" not in body:
+            # A partial reload (e.g. from the WebUI model manager) keeps
+            # the server's configured tokenizer instead of the global
+            # dataclass default (reference: Config->ReloadRequest merge,
+            # crates/ai00-server/src/config.rs:30-77).
+            body["tokenizer_path"] = self.config.tokenizer.get(
+                "path", ReloadRequest().tokenizer_path)
         req = ReloadRequest.from_json(body)
         model_dir = self.config.model.get("path", "assets/models")
         try:

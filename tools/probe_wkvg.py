@@ -13,6 +13,12 @@ variants:
     PROBE_VAR=pass    read state, write it back (DMA/layout floor)
     PROBE_VAR=math    tchain minus the relayouts: vectors arrive
                       pre-shaped (Hc, B, N) (upper bound on the win)
+    PROBE_VAR=bform   math in the WINDOW's native (B, Hc, N, N) layout
+                      (no 2MB state swapaxes; vectors relayouted)
+    PROBE_VAR=slab    state window stored as a 2-D (B*N, Hc*N) slab:
+                      every elementwise op runs on full 512 lanes and
+                      the per-head segment reductions/broadcasts become
+                      tiny MXU matmuls against 0/1 block masks
 
 Timing: slope of two chain lengths (tunnel RTT cancels).
 """
@@ -51,12 +57,25 @@ def main():
     cd = jnp.bfloat16
 
     rng = np.random.default_rng(0)
-    svals = jnp.asarray(rng.standard_normal((RING, B, Hc, N, N)) * 0.1,
-                        jnp.float32)
-    vecs = jnp.asarray(rng.standard_normal((7, B, GW)) * 0.1, jnp.float32)
+    svals_np = rng.standard_normal((RING, B, Hc, N, N)) * 0.1
+    svals = jnp.asarray(svals_np, jnp.float32)
+    vecs_np = rng.standard_normal((7, B, GW)) * 0.1
+    vecs = jnp.asarray(vecs_np, jnp.float32)
     vecs4 = jnp.asarray(
-        np.moveaxis(np.asarray(vecs).reshape(7, B, Hc, N), 2, 1),
+        np.moveaxis(vecs_np.reshape(7, B, Hc, N), 2, 1),
         jnp.float32)  # (7, Hc, B, N) pre-shaped
+    vecsB = jnp.asarray(vecs_np.reshape(7, B, Hc, N), jnp.float32)
+    # slab layout: state[(b*N+i), (h*N+j)]; i-indexed v2 as (B*N, Hc)
+    sslab = jnp.asarray(
+        np.moveaxis(svals_np, 2, 3).reshape(RING, B * N, GW), jnp.float32)
+    v2i = jnp.asarray(
+        np.moveaxis(vecs_np[6].reshape(B, Hc, N), 1, 2).reshape(B * N, Hc),
+        jnp.float32)
+    bones_np = np.zeros((GW, Hc), np.float32)
+    for h in range(Hc):
+        bones_np[h * N:(h + 1) * N, h] = 1.0
+    bones = jnp.asarray(bones_np)          # (GW, Hc) block mask
+    bonesT = jnp.asarray(bones_np.T)       # (Hc, GW)
 
     GN_EPS = 64e-5
 
@@ -115,7 +134,91 @@ def main():
         yg[...] = o[:B]
         oac[...] = o[B:]
 
+    def body_bform(s_in, vB_ref, yg, oac, s_out):
+        """Math in the window's native (B, Hc, N, N) layout: no state
+        swapaxes at all; vectors arrive (B, Hc, N)."""
+        def vb(i):                               # (B, Hc, 1, N)
+            return vB_ref[i][:, :, None, :]
+
+        kk4 = vb(0)
+        kk4 = kk4 / jnp.maximum(
+            jnp.sqrt(jnp.sum(kk4 * kk4, -1, keepdims=True)), 1e-12)
+        kk4 = kk4.astype(cd).astype(jnp.float32)
+        r4 = vb(4).astype(cd).astype(jnp.float32)
+        v24 = jnp.swapaxes(vb(6), -1, -2)        # (B, Hc, N, 1): i
+        s = s_in[...]
+        skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
+        s_new = s * vb(1) - skk * (kk4 * vb(2)) + v24 * vb(3)
+        s_out[0] = s_new
+        y = jnp.sum(s_new * r4, axis=-1)         # (B, Hc, N)
+        mean = jnp.mean(y, -1, keepdims=True)
+        vvar = jnp.var(y, -1, keepdims=True)
+        yn = (y - mean) * jax.lax.rsqrt(vvar + GN_EPS)
+        rksum = jnp.sum(vb(5), axis=-1)          # (B, Hc, 1)
+        ob = rksum * v24[..., 0]                 # (B, Hc, N)
+        # (B, Hc, N) i-lanes -> (B, GW) via (Hc, N, 2B)->(GW, 2B)->T.
+        o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=0), 0, 1)
+        o = jnp.swapaxes(o, -1, -2)              # (Hc, N, 2B)
+        o = jnp.transpose(o.reshape(GW, 2 * B))  # (2B, GW)
+        yg[...] = o[:B]
+        oac[...] = o[B:]
+
+    def body_slab(s_in, v_ref, v2i_ref, bo_ref, boT_ref, yg, oac, s_out):
+        """State as a 2-D (B*N, Hc*N) slab: full 512-lane elementwise
+        ops; per-head-segment reductions/broadcasts via tiny MXU dots
+        against 0/1 block masks."""
+        BN = B * N
+
+        def vj(i):                               # j-vec -> (BN, GW)
+            v = v_ref[i][:, None, :]             # (B, 1, GW)
+            return jnp.broadcast_to(v, (B, N, GW)).reshape(BN, GW)
+
+        bo = bo_ref[...]                         # (GW, Hc)
+        boT = boT_ref[...]                       # (Hc, GW)
+
+        def seg_sum(x):                          # (BN, GW) -> (BN, Hc)
+            return jnp.dot(x, bo, preferred_element_type=jnp.float32)
+
+        def seg_bcast(x):                        # (BN, Hc) -> (BN, GW)
+            return jnp.dot(x, boT, preferred_element_type=jnp.float32)
+
+        kk = vj(0)
+        nrm = seg_bcast(seg_sum(kk * kk))
+        kk = kk / jnp.maximum(jnp.sqrt(nrm), 1e-12)
+        kk = kk.astype(cd).astype(jnp.float32)
+        r = vj(4).astype(cd).astype(jnp.float32)
+        v2b = seg_bcast(v2i_ref[...])            # (BN, GW): i-indexed
+        s = s_in[...]                            # (BN, GW)
+        skk = seg_bcast(seg_sum(s * kk))
+        s_new = s * vj(1) - skk * (kk * vj(2)) + v2b * vj(3)
+        s_out[0] = s_new
+        y = seg_sum(s_new * r)                   # (BN, Hc)
+        # groupnorm over i within (b, h): rows b*N..b*N+N-1 per col.
+        y3 = y.reshape(B, N, Hc)
+        mean = jnp.mean(y3, axis=1, keepdims=True)
+        vvar = jnp.var(y3, axis=1, keepdims=True)
+        yn = ((y3 - mean) * jax.lax.rsqrt(vvar + GN_EPS)).reshape(BN, Hc)
+        rksum = seg_sum(vj(5))                   # (BN, Hc) (const in i)
+        ob = rksum * v2i_ref[...]                # (BN, Hc)
+        # (BN, Hc) i-rows -> (B, GW) lane layout: T -> (Hc, B, N) ->
+        # minor swap -> (Hc, N, B) -> (GW, B) -> T.
+        o = jnp.transpose(jnp.concatenate([yn, ob], axis=1))  # (2Hc, BN)
+        o = o.reshape(2 * Hc, B, N)
+        o = jnp.swapaxes(o, -1, -2)              # (2Hc, N, B)
+        o = jnp.transpose(o.reshape(2 * GW, B))  # (B, 2GW)
+        yg[...] = o[:, :GW]
+        oac[...] = o[:, GW:]
+
     def make_kernel(variant):
+        if variant == "slab":
+            def kernel(sv_ref, v_ref, v2i_ref, bo_ref, boT_ref,
+                       yg_ref, oac_ref, sout_ref, yg_scr, oac_scr):
+                body_slab(sv_ref[0], v_ref, v2i_ref, bo_ref, boT_ref,
+                          yg_scr, oac_scr, sout_ref)
+                yg_ref[...] = yg_scr[...]
+                oac_ref[...] = oac_scr[...]
+            return kernel
+
         def kernel(sv_ref, v_ref, v4_ref, yg_ref, oac_ref, sout_ref,
                    yg_scr, oac_scr):
             i = pl.program_id(0)
@@ -136,6 +239,8 @@ def main():
                     return v4_ref[j][:, :, None, :]
                 _math(jnp.swapaxes(sv_ref[0], 0, 1), v4,
                       yg_scr, oac_scr, sout_ref, True)
+            elif variant == "bform":
+                body_bform(sv_ref[0], v4_ref, yg_scr, oac_scr, sout_ref)
             yg_ref[...] = yg_scr[...]
             oac_ref[...] = oac_scr[...]
         return kernel
@@ -144,58 +249,94 @@ def main():
         return pl.BlockSpec((1, B, Hc, N, N), lambda i: (i % RING, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def slab_spec():
+        return pl.BlockSpec((1, B * N, GW), lambda i: (i % RING, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    out2 = [pl.BlockSpec((B, GW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)] * 2
+    shp2 = [jax.ShapeDtypeStruct((B, GW), jnp.float32)] * 2
+
+    interp = os.environ.get("PROBE_INTERPRET") == "1"
+
     @functools.partial(jax.jit, static_argnames=("variant", "n"))
-    def run(sv, vecs, vecs4, variant="loop", n=steps):
+    def run(variant="loop", n=steps):
+        if variant == "slab":
+            return pl.pallas_call(
+                make_kernel(variant),
+                grid=(n,),
+                in_specs=[slab_spec(), const_spec(vecs), const_spec(v2i),
+                          const_spec(bones), const_spec(bonesT)],
+                out_specs=out2 + [slab_spec()],
+                out_shape=shp2 + [jax.ShapeDtypeStruct(sslab.shape,
+                                                       jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((B, GW), jnp.float32)] * 2,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interp,
+            )(sslab, vecs, v2i, bones, bonesT)
+        v3 = vecsB if variant == "bform" else vecs4
         return pl.pallas_call(
             make_kernel(variant),
             grid=(n,),
-            in_specs=[ring_spec(),
-                      pl.BlockSpec(vecs.shape, lambda i: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(vecs4.shape, lambda i: (0, 0, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((B, GW), lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((B, GW), lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM),
-                       ring_spec()],
-            out_shape=[jax.ShapeDtypeStruct((B, GW), jnp.float32),
-                       jax.ShapeDtypeStruct((B, GW), jnp.float32),
-                       jax.ShapeDtypeStruct(sv.shape, jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((B, GW), jnp.float32),
-                            pltpu.VMEM((B, GW), jnp.float32)],
+            in_specs=[ring_spec(), const_spec(vecs), const_spec(v3)],
+            out_specs=out2 + [ring_spec()],
+            out_shape=shp2 + [jax.ShapeDtypeStruct(svals.shape,
+                                                   jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((B, GW), jnp.float32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(sv, vecs, vecs4)
+            interpret=interp,
+        )(svals, vecs, v3)
 
-    # Correctness cross-check loop vs tchain vs math (single step each).
+    def sout_as_bhnn(v, arr):
+        if v == "slab":
+            return np.moveaxis(np.asarray(arr).reshape(B, N, Hc, N), 1, 2)
+        return np.asarray(arr)
+
+    all_vars = ["pass", "loop", "tchain", "math", "bform", "slab"]
+    which = [var] if var != "all" else all_vars
+
+    # Correctness cross-check vs loop (single step each).
+    check = sorted({x for x in which + ["loop"] if x != "pass"})
     outs = {}
-    for v in ("loop", "tchain", "math"):
-        o = run(svals, vecs, vecs4, variant=v, n=1)
+    for v in check:
+        o = run(variant=v, n=1)
         jax.block_until_ready(o[0])
-        outs[v] = [np.asarray(x) for x in o]
-    for v in ("tchain", "math"):
-        dy = np.max(np.abs(outs[v][0] - outs["loop"][0]))
-        ds = np.max(np.abs(outs[v][2][0] - outs["loop"][2][0]))
-        print(f"{v} vs loop: d_yg={dy:.2e} d_s={ds:.2e}", file=sys.stderr)
+        outs[v] = [np.asarray(o[0]), np.asarray(o[1]),
+                   sout_as_bhnn(v, o[2][0])]
+    base = outs.get("loop")
+    if base is not None:
+        for v, o in outs.items():
+            if v == "loop":
+                continue
+            dy = np.max(np.abs(o[0] - base[0]))
+            do = np.max(np.abs(o[1] - base[1]))
+            ds = np.max(np.abs(o[2] - base[2]))
+            print(f"{v} vs loop: d_yg={dy:.2e} d_oa={do:.2e} "
+                  f"d_s={ds:.2e}", file=sys.stderr)
 
-    which = [var] if var != "all" else ["pass", "loop", "tchain", "math"]
     n1, n2 = steps, 5 * steps
     for v in which:
         ts = {}
         for n in (n1, n2):
-            o = run(svals, vecs, vecs4, variant=v, n=n)
+            o = run(variant=v, n=n)
             jax.block_until_ready(o[0])
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                o = run(svals, vecs, vecs4, variant=v, n=n)
+                o = run(variant=v, n=n)
                 jax.block_until_ready(o[0])
                 best = min(best, time.time() - t0)
             ts[n] = best
         dt = (ts[n2] - ts[n1]) / (n2 - n1)
         print(f"{v}: {dt*1e6:.1f} us/step  [raw {ts[n1]*1e3:.1f}/"
-              f"{ts[n2]*1e3:.1f}ms]")
+              f"{ts[n2]*1e3:.1f}ms]", flush=True)
 
 
 if __name__ == "__main__":
