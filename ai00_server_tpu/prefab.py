@@ -134,6 +134,20 @@ def save_prefab(path: str, model: LoadedModel, config: dict | None = None
 def load_prefab(path: str) -> LoadedModel:
     from safetensors import safe_open
 
+    # Reference prefabs (cbor4ii ModelSerialize, lib.rs:131-154) are a
+    # different on-disk format tied to web-rwkv's GPU tensor layout; the
+    # capability (skip re-quantization on reload) is equivalent but the
+    # files don't interchange.  Detect one and say so instead of
+    # surfacing a safetensors header error.
+    with open(path, "rb") as fh:
+        head = fh.read(9)
+    if head[:1] in (b"\xa2", b"\xa3", b"\xa4", b"\xbf", b"\xd9"):
+        raise ValueError(
+            f"{path}: looks like a reference (web-rwkv cbor) prefab; "
+            "those are not interchangeable with ai00-tpu prefabs. "
+            "Re-export from the original .st/.pth with "
+            "/admin/models/save.")
+
     with safe_open(path, framework="numpy") as f:
         meta = json.loads(f.metadata()["prefab"])
         if meta.get("magic") != PREFAB_MAGIC:
