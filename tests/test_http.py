@@ -246,6 +246,18 @@ def test_auth_and_admin(site):
             r = await client.post("/api/oai/completions", json={
                 "prompt": "AB", "max_tokens": 2})
             assert r.status == 200
+
+            # Partial reload body (the WebUI model manager sends only
+            # model_path + options): the configured tokenizer must be
+            # kept, not the global dataclass default.
+            r = await client.post("/admin/models/load", headers=hdrs, json={
+                "model_path": "tiny.st",
+                "max_batch": 2, "token_chunk_size": 8,
+            })
+            assert r.status == 200, await r.text()
+            r = await client.post("/api/oai/completions", json={
+                "prompt": "AB", "max_tokens": 2})
+            assert r.status == 200
         finally:
             await client.close()
             await server.middleware.unload()
