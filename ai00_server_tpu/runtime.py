@@ -347,6 +347,7 @@ class _ReqCtx:
     bnf_dirty: bool = True
     bnf_misses: int = 0
     bnf_no_chunk: bool = False
+    bnf_sticky: int = 0
 
 
 class Runtime:
@@ -652,7 +653,19 @@ class Runtime:
         mask = await loop.run_in_executor(None, ctx.formatter.allowed_mask)
         ctx.bnf_dirty = False
         if ctx.bnf_mask is not None and np.array_equal(mask, ctx.bnf_mask):
+            # Unchanged mask: the grammar entered a sticky region (e.g. a
+            # free-text or digit run after structural punctuation).  A row
+            # parked in per-token mode by an earlier shifty stretch earns
+            # its way back into chunked decode after two sticky steps —
+            # bnf_no_chunk is a region property, not a request property.
+            if ctx.bnf_no_chunk:
+                ctx.bnf_sticky += 1
+                if ctx.bnf_sticky >= 2:
+                    ctx.bnf_no_chunk = False
+                    ctx.bnf_misses = 0
+                    ctx.bnf_sticky = 0
             return
+        ctx.bnf_sticky = 0
         ctx.bnf_mask = mask
         self.engine.set_row_mask(slot.index, mask)
 
@@ -939,6 +952,7 @@ class Runtime:
                 None, self._rebuild_sampler_state, b, ctx)
         ctx.bnf_mask = new_mask
         ctx.bnf_dirty = False
+        ctx.bnf_sticky = 0
         self.engine.set_row_mask(b, new_mask)
         # Grammars whose mask shifts every token or two gain nothing from
         # chunking (every chunk rolls back almost immediately): fall back
