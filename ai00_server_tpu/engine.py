@@ -22,6 +22,7 @@ itself is synchronous and owns all device buffers.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from dataclasses import dataclass
 
@@ -567,24 +568,74 @@ class Engine:
         ring, so interleaving is harmless; real calls just wait on the
         engine lock per step.
 
-        With the persistent compile cache enabled this also seeds the
-        on-disk cache, so a process restart pays tracing only.
+        When the persistent compile cache is enabled, the buckets are
+        first AOT-compiled CONCURRENTLY (``fn.lower()`` traces serially —
+        cheap; ``.compile()`` is the minutes-long XLA work and releases
+        the GIL, so a thread pool overlaps the buckets and cold-start
+        wall time approaches the slowest single bucket instead of the
+        sum).  AOT results land in the on-disk cache, not jit's dispatch
+        cache, so the no-op executes that follow load from disk in
+        seconds and warm dispatch.  Without the persistent cache (CPU
+        tests) the AOT phase is skipped — it would compile twice.
         """
         self._prewarm_cancelled = False
         B, T = self.max_batch, self.token_chunk_size
         zl = np.zeros(B, np.int32)
         zm = np.zeros(B, np.bool_)
-        for t, want_logits in ((T, True), (T, False), (1, False), (1, True)):
+        step_buckets = ((T, True), (T, False), (1, False), (1, True))
+        chunk_buckets = ((decode_chunk_size, decode_chunk_size * 4)
+                         if decode_chunk_size > 1 else ())
+
+        if (jax.config.jax_compilation_cache_dir
+                and os.environ.get("AI00_PREWARM_PARALLEL", "1") != "0"):
+            skey = self._sampler_key()
+            with self._lock:
+                common = (self.model.params, self.state_pool,
+                          self.sampler_state)
+                tail = (self._sparams(), self.bias_pool, self.mask_pool,
+                        self._rng)
+            lowered = []
+            for t, want_logits in step_buckets:
+                fn = self._get_step(t, want_logits, skey)
+                try:
+                    lowered.append(fn.lower(
+                        *common, jnp.zeros((B, t), jnp.int32),
+                        jnp.asarray(zl), jnp.asarray(zm), *tail,
+                        want_logits))
+                except Exception:
+                    pass
+            for k in chunk_buckets:
+                fn = self._get_decode_scan(k, skey)
+                try:
+                    lowered.append(fn.lower(
+                        *common, jnp.zeros(B, jnp.int32),
+                        jnp.zeros((4, B), jnp.int32), *tail))
+                except Exception:
+                    pass
+
+            def compile_one(low):
+                if self._prewarm_cancelled:
+                    return
+                try:
+                    low.compile()
+                except Exception:
+                    pass  # the execute phase compiles serially as before
+
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(
+                    max_workers=min(6, max(1, len(lowered)))) as pool:
+                list(pool.map(compile_one, lowered))
+
+        for t, want_logits in step_buckets:
             if self._prewarm_cancelled:
                 return
             self.step(np.zeros((B, t), np.int32), zl, zm, want_logits)
-        if decode_chunk_size > 1:
-            for k in (decode_chunk_size, decode_chunk_size * 4):
-                # The 4x bucket: runtime._drive chunk-size bucketing.
-                if self._prewarm_cancelled:
-                    return
-                self.decode_chunk(np.zeros(B, np.int32), zm, k,
-                                  snapshot=False)
+        for k in chunk_buckets:
+            # The 4x bucket: runtime._drive chunk-size bucketing.
+            if self._prewarm_cancelled:
+                return
+            self.decode_chunk(np.zeros(B, np.int32), zm, k,
+                              snapshot=False)
 
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast

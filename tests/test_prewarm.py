@@ -58,6 +58,30 @@ def test_prewarm_covers_first_request(site):
     asyncio.run(main())
 
 
+def test_prewarm_parallel_aot(site, tmp_path):
+    """With the persistent compile cache enabled, prewarm AOT-compiles
+    the buckets concurrently first (engine.prewarm phase 1); the engine
+    must still serve identical steps afterward."""
+    import jax
+
+    from ai00_server_tpu.engine import Engine
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cc"))
+    try:
+        model = loader.load_model(str(site / "tiny.st"))
+        eng = Engine(model, max_batch=4, token_chunk_size=8)
+        eng.prewarm(decode_chunk_size=4)
+        assert eng._steps and eng._decode_scans
+        toks = np.zeros((4, 8), np.int32)
+        toks[0, :3] = [1, 2, 3]
+        lengths = np.array([3, 0, 0, 0], np.int32)
+        res = eng.step(toks, lengths, np.array([True, False, False, False]))
+        assert res.tokens.shape == (4,)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_prewarm_off(site):
     async def main():
         mw = Middleware()
