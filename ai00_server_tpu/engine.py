@@ -269,6 +269,24 @@ class Engine:
             self.sampler_state, jnp.asarray(pen), jnp.asarray(seen),
             jnp.float32(ms0), jnp.int32(b))
 
+    def reset_row_sampler_key(self, b: int) -> None:
+        """Reset row ``b``'s compile-key-relevant sampler params (kind,
+        top_k) to the pool defaults after the row's request finishes.
+
+        The step/decode-scan compile key (:meth:`_sampler_key`) scans ALL
+        rows — including idle ones — because the uploaded sparams array
+        covers the whole pool.  Without this reset, one finished request
+        with e.g. ``top_k=0`` (full-vocab bucket) or a mirostat kind
+        would keep recompiling *every other* request's buckets and pay
+        its full-vocab sort until the row happened to be reused.  Values
+        on an idle row never affect sampling (its sample_mask is False);
+        only the static key matters."""
+        with self._lock:
+            defaults = sampling.make_params(1)
+            self.sampler_params_host["kind"][b] = defaults["kind"][0]
+            self.sampler_params_host["top_k"][b] = defaults["top_k"][0]
+            self._sparams_device = None
+
     def set_row_sampler_state(self, b: int, pen: np.ndarray,
                               seen: np.ndarray) -> None:
         """Overwrite row ``b``'s penalty/seen sampler state (host-rebuilt

@@ -126,30 +126,27 @@ async def amain(argv=None):
             directory_url=config.listen.acme_directory or acme_mod.LETSENCRYPT,
             challenges=store,
             contact=config.listen.acme_contact or None)
-        # Plain-HTTP :80 responder for the CA's validation fetch.
-        http80 = web.Application()
-        http80.add_routes(acme_mod.challenge_routes(store))
-        runner80 = web.AppRunner(http80)
-        await runner80.setup()
         try:
-            await web.TCPSite(runner80, ip, 80).start()
-        except OSError as e:
-            log.warning("acme: cannot bind :80 for http-01 (%s); relying "
-                        "on an external route to /.well-known/"
-                        "acme-challenge/", e)
-        try:
-            cert_file, key_file = await client.ensure_certificate()
+            cert_file, key_file = await _acme_obtain(
+                acme_mod, client, store, ip)
         except Exception:
             log.exception(
                 "acme: certificate provisioning failed; falling back to "
                 "the configured files %s / %s", cert_file, key_file)
-        finally:
-            await runner80.cleanup()
 
     ssl_ctx = None
     if tls:
         ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ssl_ctx.load_cert_chain(cert_file, key_file)
+        if acme:
+            # Renewal loop: re-order when < RENEW_DAYS remain and swap
+            # the chain into the LIVE SSLContext (load_cert_chain on an
+            # existing context applies to subsequent handshakes), so a
+            # long-running server never serves an expired certificate.
+            # Reference behavior: rustls-acme renews automatically
+            # (main.rs:320-423).
+            asyncio.ensure_future(_acme_renew_loop(
+                client, store, ip, ssl_ctx))
 
     runner = web.AppRunner(server.app)
     await runner.setup()
@@ -171,6 +168,51 @@ async def amain(argv=None):
     log.info("serving on %s://%s:%d (docs at /api-docs)", scheme, ip, port)
     while True:
         await asyncio.sleep(3600)
+
+
+async def _acme_obtain(acme_mod, client, store, ip, http_port: int = 80):
+    """Run one certificate order with a transient plain-HTTP :80
+    responder for the CA's http-01 validation fetch."""
+    from aiohttp import web
+
+    http80 = web.Application()
+    http80.add_routes(acme_mod.challenge_routes(store))
+    runner80 = web.AppRunner(http80)
+    await runner80.setup()
+    try:
+        try:
+            await web.TCPSite(runner80, ip, http_port).start()
+        except OSError as e:
+            log.warning("acme: cannot bind :%d for http-01 (%s); relying "
+                        "on an external route to /.well-known/"
+                        "acme-challenge/", http_port, e)
+        return await client.ensure_certificate()
+    finally:
+        await runner80.cleanup()
+
+
+async def _acme_renew_loop(client, store, ip, ssl_ctx,
+                           interval: float = 12 * 3600,
+                           http_port: int = 80) -> None:
+    """Re-check certificate validity every ``interval`` seconds; when
+    fewer than acme.RENEW_DAYS remain, re-order and hot-swap the chain
+    into the live SSL context (new handshakes pick it up; no restart)."""
+    from .server import acme as acme_mod
+
+    while True:
+        await asyncio.sleep(interval)
+        try:
+            if client.current_cert_ok():
+                continue
+            cert_file, key_file = await _acme_obtain(
+                acme_mod, client, store, ip, http_port)
+            ssl_ctx.load_cert_chain(cert_file, key_file)
+            log.info("acme: certificate renewed for %s", client.domain)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            log.exception("acme: renewal failed; retrying in %.0fs",
+                          interval)
 
 
 def load_plugins(plugins_dir: str, target: str) -> None:

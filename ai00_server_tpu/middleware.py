@@ -16,10 +16,13 @@ is a plain async object the HTTP handlers call directly:
 from __future__ import annotations
 
 import asyncio
+import logging
 import os
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
 
 
 from .engine import Engine
@@ -265,10 +268,28 @@ class Middleware:
                 # compile would otherwise leave the old engine's prewarm
                 # thread alive, pinning the old params in device memory
                 # while the new model loads (transient double residency).
+                # cancel_prewarm takes effect between bucket compiles; an
+                # XLA compile already in flight cannot be interrupted, so
+                # the drain wait is BOUNDED (default 120 s) — past it we
+                # proceed with the reload and accept transient double
+                # residency rather than hold the middleware lock (and the
+                # admin request) for the rest of a 7B-class compile.
+                import time
+
                 env.engine.cancel_prewarm()
+                drain_s = float(os.environ.get(
+                    "AI00_PREWARM_DRAIN_S", "120"))
+                t0 = time.monotonic()
                 try:
                     await asyncio.wait_for(
-                        asyncio.shield(env.prewarm_future), timeout=900)
+                        asyncio.shield(env.prewarm_future),
+                        timeout=drain_s)
+                except asyncio.TimeoutError:
+                    logger.warning(
+                        "unload: prewarm compile still running after "
+                        "%.0fs drain; proceeding (transient double "
+                        "residency until it finishes)",
+                        time.monotonic() - t0)
                 except Exception:
                     pass
             await env.runtime.stop()

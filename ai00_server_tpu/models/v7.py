@@ -208,10 +208,14 @@ def forward(params, state, tokens, lengths):
         from ..ops import wkv as wkv_dispatch
         from ..ops import v7_decode_pallas as fd
 
-        mode = wkv_dispatch.fused_decode_mode()
-        if mode != "off" and fd.supports(params):
+        # The two kernels gate INDEPENDENTLY (AI00_FUSED_DECODE only
+        # disables the whole-network kernel; AI00_PHASED_DECODE only the
+        # whole-layer one) — mirroring the engine's install conditions,
+        # so an installed FUSED_KEY layout is never left unreachable.
+        if fd.supports(params):
             B = tokens.shape[0]
-            if fd.can_fuse(params, batch=B):
+            mode = wkv_dispatch.fused_decode_mode()
+            if mode != "off" and fd.can_fuse(params, batch=B):
                 return fd.forward_t1(params, state, tokens, lengths,
                                      interpret=(mode == "interpret"))
             from ..ops import v7_phased_pallas as pd

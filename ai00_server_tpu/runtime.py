@@ -438,6 +438,13 @@ class Runtime:
                 ("stop", FinishReason.ABORT, ctx.counter))
             await ctx.handle.queue.put(("done",))
         self.pending = []
+        if os.environ.get("AI00_DRIVE_STATS"):
+            import json as _json
+
+            print("drive stats: " + _json.dumps(
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in sorted(self.metrics.items())}),
+                flush=True)
 
     async def _abandon_spec(self) -> None:
         """Discard an in-flight speculative chunk record (crash recovery /
@@ -1340,6 +1347,11 @@ class Runtime:
         self.metrics["requests_finished"] += 1
         await ctx.handle.queue.put(("stop", reason, ctx.counter))
         await ctx.handle.queue.put(("done",))
+        # Drop compile-key-relevant sampler params (kind, top_k) back to
+        # defaults: an idle row's values otherwise stay in engine
+        # ._sampler_key() and one finished top_k=0 / mirostat request
+        # would force every later batch into its slow bucket.
+        self.engine.reset_row_sampler_key(b)
         slot.resident_tokens = consumed
         slot.idle_since = time.monotonic()
         slot.phase = _SlotPhase.IDLE

@@ -260,7 +260,7 @@ class AcmeClient:
                 {"identifiers": [{"type": "dns", "value": self.domain}]})
             order_url = resp.headers.get("Location")
             finalize = order["finalize"]
-            token = None
+            tokens: list[str] = []
             try:
                 for authz_url in order["authorizations"]:
                     _, authz = await self._post(session, authz_url, None)
@@ -270,6 +270,7 @@ class AcmeClient:
                         c for c in authz["challenges"]
                         if c["type"] == "http-01")
                     token = chall["token"]
+                    tokens.append(token)
                     key_auth = f"{token}.{self.thumbprint()}"
                     self.challenges.put(token, key_auth)
                     await self._post(session, chall["url"], {})
@@ -286,7 +287,10 @@ class AcmeClient:
                 if isinstance(cert_pem, (dict, list)):
                     raise AcmeError("certificate download returned JSON")
             finally:
-                if token:
+                # Every published token is withdrawn — an order with
+                # several authorizations must not leave earlier tokens
+                # publicly served for the process lifetime.
+                for token in tokens:
                     self.challenges.pop(token)
         with open(self.key_path, "wb") as f:
             os.fchmod(f.fileno(), 0o600)

@@ -499,7 +499,7 @@ class Server:
         })
 
     async def _embed_texts(self, env, texts: list[str],
-                           state_field=None) -> np.ndarray:
+                           state_id: str | None = None) -> np.ndarray:
         """Model-derived sentence embeddings from the full RWKV state
         (the RNN's whole memory of the text), L2-normalized to 3C dims:
 
@@ -515,7 +515,6 @@ class Server:
         (Reference: states endpoint returns this same full state raw,
         run.rs:984-989; the embeddings endpoint is this build's native
         replacement for the retired RWKV-layer-embeddings API.)"""
-        state_id = await self._resolve_state(env, state_field)
         handles = []
         for text in texts:
             req = GenerateRequest(prompt=str(text), max_tokens=1,
@@ -546,8 +545,11 @@ class Server:
         body = await request.json()
         env = await self._env()
         inputs = [str(t) for t in _array(body.get("input"))]
+        # Resolve the state BEFORE flipping parsed so a malformed
+        # ``state`` field maps to a 400 like chat/completions, not a 500.
+        state_id = await self._resolve_state(env, body.get("state"))
         request["parsed"] = True
-        vecs = await self._embed_texts(env, inputs, body.get("state"))
+        vecs = await self._embed_texts(env, inputs, state_id=state_id)
         data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
                 for i, v in enumerate(vecs)]
         return web.json_response({

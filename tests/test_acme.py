@@ -229,6 +229,89 @@ def test_acme_http01_issues_certificate(tmp_path):
     asyncio.run(main())
 
 
+def test_renew_loop_hot_swaps_near_expiry_cert(tmp_path):
+    """main._acme_renew_loop re-orders when the stored certificate has
+    fewer than RENEW_DAYS left and hot-swaps the chain into the live SSL
+    context (reference: rustls-acme renews automatically,
+    main.rs:320-423)."""
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    from ai00_server_tpu.main import _acme_renew_loop
+
+    async def main():
+        ca = MockCA()
+        ca_server = TestServer(ca.app())
+        await ca_server.start_server()
+
+        store = ChallengeStore()
+        chal_app = web.Application()
+        chal_app.add_routes(challenge_routes(store))
+        chal_server = TestServer(chal_app)
+        await chal_server.start_server()
+        ca.challenge_port = chal_server.port
+
+        client = AcmeClient(
+            "example.test", str(tmp_path),
+            directory_url=f"http://127.0.0.1:{ca_server.port}/directory",
+            challenges=store)
+
+        # Seed a nearly-expired self-signed cert + key at the client's
+        # paths: current_cert_ok() is False (< RENEW_DAYS remain).
+        key = ec.generate_private_key(ec.SECP256R1())
+        name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                             "example.test")])
+        now = datetime.datetime.now(datetime.timezone.utc)
+        old = (x509.CertificateBuilder()
+               .subject_name(name).issuer_name(name)
+               .public_key(key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now - datetime.timedelta(days=80))
+               .not_valid_after(now + datetime.timedelta(days=2))
+               .sign(key, hashes.SHA256()))
+        with open(client.cert_path, "wb") as f:
+            f.write(old.public_bytes(serialization.Encoding.PEM))
+        with open(client.key_path, "wb") as f:
+            f.write(key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption()))
+        assert not client.current_cert_ok()
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(client.cert_path, client.key_path)
+
+        task = asyncio.ensure_future(_acme_renew_loop(
+            client, store, "127.0.0.1", ssl_ctx, interval=0.02,
+            http_port=0))
+        try:
+            for _ in range(400):
+                await asyncio.sleep(0.02)
+                if client.current_cert_ok():
+                    break
+            assert client.current_cert_ok(), "renewal never completed"
+        finally:
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+
+        # The renewed certificate is CA-issued, not the seeded one.
+        with open(client.cert_path, "rb") as f:
+            cert = x509.load_pem_x509_certificate(f.read())
+        cert.verify_directly_issued_by(ca.root)
+
+        await ca_server.close()
+        await chal_server.close()
+
+    asyncio.run(main())
+
+
 def test_current_cert_ok_false_without_files(tmp_path):
     client = AcmeClient("example.test", str(tmp_path),
                         directory_url="http://127.0.0.1:1/directory")

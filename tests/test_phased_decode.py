@@ -114,6 +114,38 @@ def test_phased_chain_matches_generic(stack):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_phased_reachable_with_fused_kernel_off(stack, monkeypatch):
+    """AI00_FUSED_DECODE=off must disable only the whole-network kernel:
+    a model with the FUSED_KEY layout installed still reaches the phased
+    whole-layer kernel through v7.forward (the engine installs the
+    layout under the same independent gating)."""
+    info, raw, params = stack
+    monkeypatch.setenv("AI00_FUSED_DECODE", "off")
+    monkeypatch.setenv("AI00_PHASED_DECODE", "interpret")
+
+    pparams = dict(params)
+    pparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    state = _advanced_state(info, params, 4)
+    rng = np.random.default_rng(3)
+    t1 = jnp.asarray(rng.integers(0, info.num_vocab, (4, 1)), jnp.int32)
+    l1 = jnp.asarray([1, 1, 1, 0], jnp.int32)
+
+    h_ref, s_ref = jax.jit(v7.forward)(params, state, t1, l1)
+
+    called = {}
+    orig = pd.forward_t1
+
+    def spy(*a, **kw):
+        called["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pd, "forward_t1", spy)
+    h_p, s_p = v7.forward(pparams, state, t1, l1)
+    assert called.get("hit"), "phased kernel not reached with fused off"
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_can_phase_gates():
     info, raw, params = make_tiny_model(
         ModelVersion.V7, seed=5, dtype=np.float32, num_layer=2,

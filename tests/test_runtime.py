@@ -370,6 +370,29 @@ def test_top_k_zero_means_uncapped():
     assert sampling.k_cap_key([7], V) == 128
 
 
+def test_finished_top_k_zero_does_not_pin_full_vocab_bucket(stack):
+    """A finished request's top_k=0 (full-vocab bucket) must not stay in
+    the engine's sampler compile key: idle rows reset to the default
+    fast-path key so later traffic keeps its prewarmed buckets."""
+    info, model, tok = stack
+
+    async def main():
+        rt = make_runtime(model, tok)
+        rt.start()
+        fast_key = rt.engine._sampler_key()
+        req = GenerateRequest(prompt="ABCAB", max_tokens=3,
+                              sampler=SamplerSpec(top_k=0))
+        _, reason, _, _ = await collect(await rt.submit(req))
+        assert reason == FinishReason.LENGTH
+        after_key = rt.engine._sampler_key()
+        await rt.stop()
+        return fast_key, after_key, rt.engine.vocab
+
+    fast_key, after_key, vocab = run_async(main())
+    assert after_key == fast_key          # kind AND k-cap reset
+    assert after_key[1] != vocab
+
+
 def test_abort_mid_prefill_accounts_fed_chunk(stack):
     """Deterministic mid-prefill abort: the chunk fed in the abort step is
     part of the consumed record, so a retried identical prompt resuming
