@@ -187,6 +187,26 @@ def _only() -> frozenset | None:
     return frozenset(v.split("+"))
 
 
+def _wkvg_variant() -> str:
+    """AI00_PHASED_WKVG selects the WKV head-group body form (read at
+    trace time, like the other phased A/B flags):
+
+        tchain (default)  math in (Hc, B, N, N) — the state window is
+                          swapaxes(0,1)-relayouted in and out (~2 MB
+                          each way at B=16 Hc=8 N=64)
+        bform             math in the window's NATIVE (B, Hc, N, N)
+                          layout — no state relayout at all; the seven
+                          small per-group vectors take one extra
+                          (Hc, B, N) -> (B, Hc, N) permute each
+
+    Candidates from tools/probe_wkvg.py (raced standalone on hardware);
+    the probe's "slab" form needs a different HBM state layout and is
+    not integrated."""
+    import os
+
+    return os.environ.get("AI00_PHASED_WKVG", "tchain")
+
+
 def _grid_mode() -> str:
     """AI00_PHASED_GRID=2d keeps the (L, W) grid; default is the flat
     (L*W,) grid — Mosaic's skip-copy-when-window-index-unchanged
@@ -199,7 +219,8 @@ def _grid_mode() -> str:
     return os.environ.get("AI00_PHASED_GRID", "flat")
 
 
-def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None):
+def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
+            wkvg="tchain"):
     nf = 4 * na
     ng = H // Hc
     W = 12 * na + ng
@@ -367,6 +388,42 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None):
                 t = t.reshape(Hc, N, 7 * B)        # row split
                 t = jnp.swapaxes(t, -1, -2)        # (Hc, 7B, N)
 
+                if wkvg == "bform":
+                    # Window-NATIVE (B, Hc, N, N) math: the two big
+                    # state relayouts vanish; each small vector takes
+                    # one extra (Hc, B, N) -> (B, Hc, N) permute.
+                    def vb(i):                     # (B, Hc, 1, N)
+                        return jnp.swapaxes(
+                            t[:, i * B:(i + 1) * B], 0, 1)[:, :, None, :]
+
+                    kk4 = vb(0)
+                    kk4 = kk4 / jnp.maximum(
+                        jnp.sqrt(jnp.sum(kk4 * kk4, axis=-1,
+                                         keepdims=True)), 1e-12)
+                    kk4 = kk4.astype(cd).astype(jnp.float32)
+                    r4 = vb(4).astype(cd).astype(jnp.float32)
+                    v24 = jnp.swapaxes(vb(6), -1, -2)  # (B, Hc, N, 1)
+                    s = wkv_ref[0]                     # (B, Hc, N, N)
+                    skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
+                    s_new = (s * vb(1)
+                             - skk * (kk4 * vb(2))
+                             + v24 * vb(3))
+                    nwkv_ref[0] = s_new.astype(nwkv_ref.dtype)
+                    y = jnp.sum(s_new * r4, axis=-1)   # (B, Hc, N)
+                    mean = jnp.mean(y, axis=-1, keepdims=True)
+                    var = jnp.var(y, axis=-1, keepdims=True)
+                    yn = (y - mean) * jax.lax.rsqrt(var + GN_EPS)
+                    rksum = jnp.sum(vb(5), axis=-1)    # (B, Hc, 1)
+                    ob = rksum * v24[..., 0]           # (B, Hc, N)
+                    # (B, Hc, N) -> (2B, GW) lane layout.
+                    o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=0),
+                                     0, 1)             # (Hc, 2B, N)
+                    o = jnp.swapaxes(o, -1, -2)        # (Hc, N, 2B)
+                    o = jnp.transpose(o.reshape(GW, 2 * B))
+                    yg_scr[:, gsl] = o[:B]
+                    oacc[:, gsl] = o[B:]
+                    return
+
                 def v4(i):                         # (Hc, B, 1, N)
                     return t[:, i * B:(i + 1) * B][:, :, None, :]
 
@@ -470,12 +527,18 @@ def _big_entries(fused, name):
     return fused[name + "_q"], fused[name + "_s"]
 
 
-@functools.partial(jax.jit, static_argnames=("na", "interpret"))
-def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("na", "interpret", "wkvg"))
+def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
+               wkvg=None):
     """Phased single-token decode: drop-in for models/v7.forward at T=1
     on models too large for the fused whole-network kernel.  ``na``
     (tiles per CxC matrix) defaults to the smallest aligned count whose
-    windows fit the VMEM budget (pick_na)."""
+    windows fit the VMEM budget (pick_na).  ``wkvg`` picks the WKV
+    head-group body form (default: AI00_PHASED_WKVG, see
+    :func:`_wkvg_variant`)."""
+    if wkvg is None:
+        wkvg = _wkvg_variant()
     fused = params[FUSED_KEY]
     L = fused["ln1"].shape[0]
     x0 = params["emb"][tokens[:, 0]]
@@ -625,7 +688,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False):
                 pass  # state outputs left unwritten on purpose
     else:
         kernel = _kernel(H, N, na, F, cd, qmode, Hc, flat=flat,
-                         only=_only())
+                         only=_only(), wkvg=wkvg)
 
     # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
     # in-place — the kernel reads each head's block before writing it.

@@ -114,6 +114,29 @@ def test_phased_chain_matches_generic(stack):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_phased_wkvg_bform_matches_tchain(stack):
+    """The window-native (B, Hc, N, N) WKV group body (wkvg='bform')
+    computes identical outputs/state to the default stacked-transpose
+    form — it exists purely as a layout A/B for the hardware race
+    (tools/probe_wkvg.py)."""
+    info, raw, params = stack
+    state = _advanced_state(info, params, 4)
+    rng = np.random.default_rng(7)
+    t1 = jnp.asarray(rng.integers(0, info.num_vocab, (4, 1)), jnp.int32)
+    l1 = jnp.asarray([1, 1, 0, 1], jnp.int32)
+    pparams = dict(params)
+    pparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    h_t, s_t = pd.forward_t1(pparams, state, t1, l1, na=1,
+                             interpret=True, wkvg="tchain")
+    h_b, s_b = pd.forward_t1(pparams, state, t1, l1, na=1,
+                             interpret=True, wkvg="bform")
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_t),
+                               rtol=1e-5, atol=1e-6)
+    for k in s_t:
+        np.testing.assert_allclose(np.asarray(s_b[k]), np.asarray(s_t[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_phased_reachable_with_fused_kernel_off(stack, monkeypatch):
     """AI00_FUSED_DECODE=off must disable only the whole-network kernel:
     a model with the FUSED_KEY layout installed still reaches the phased
