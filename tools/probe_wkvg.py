@@ -302,14 +302,24 @@ def main():
     all_vars = ["pass", "loop", "tchain", "math", "bform", "slab"]
     which = [var] if var != "all" else all_vars
 
-    # Correctness cross-check vs loop (single step each).
+    # Correctness cross-check vs loop (single step each).  A variant
+    # Mosaic can't compile (e.g. an unsupported shape cast) is reported
+    # and dropped instead of aborting the race.
     check = sorted({x for x in which + ["loop"] if x != "pass"})
     outs = {}
+    failed = set()
     for v in check:
-        o = run(variant=v, n=1)
-        jax.block_until_ready(o[0])
+        try:
+            o = run(variant=v, n=1)
+            jax.block_until_ready(o[0])
+        except Exception as e:
+            failed.add(v)
+            msg = str(e).splitlines()[0][:160]
+            print(f"{v}: COMPILE/RUN FAILED — {msg}", flush=True)
+            continue
         outs[v] = [np.asarray(o[0]), np.asarray(o[1]),
                    sout_as_bhnn(v, o[2][0])]
+    which = [v for v in which if v not in failed]
     base = outs.get("loop")
     if base is not None:
         for v, o in outs.items():
@@ -324,16 +334,21 @@ def main():
     n1, n2 = steps, 5 * steps
     for v in which:
         ts = {}
-        for n in (n1, n2):
-            o = run(variant=v, n=n)
-            jax.block_until_ready(o[0])
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
+        try:
+            for n in (n1, n2):
                 o = run(variant=v, n=n)
                 jax.block_until_ready(o[0])
-                best = min(best, time.time() - t0)
-            ts[n] = best
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    o = run(variant=v, n=n)
+                    jax.block_until_ready(o[0])
+                    best = min(best, time.time() - t0)
+                ts[n] = best
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            print(f"{v}: TIMING FAILED — {msg}", flush=True)
+            continue
         dt = (ts[n2] - ts[n1]) / (n2 - n1)
         print(f"{v}: {dt*1e6:.1f} us/step  [raw {ts[n1]*1e3:.1f}/"
               f"{ts[n2]*1e3:.1f}ms]", flush=True)
