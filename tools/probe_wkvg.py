@@ -315,7 +315,8 @@ def main():
         except Exception as e:
             failed.add(v)
             msg = str(e).splitlines()[0][:160]
-            print(f"{v}: COMPILE/RUN FAILED — {msg}", flush=True)
+            print(f"{v}: COMPILE/RUN FAILED — {msg}", file=sys.stderr,
+                  flush=True)
             continue
         outs[v] = [np.asarray(o[0]), np.asarray(o[1]),
                    sout_as_bhnn(v, o[2][0])]
@@ -332,6 +333,7 @@ def main():
                   f"d_s={ds:.2e}", file=sys.stderr)
 
     n1, n2 = steps, 5 * steps
+    timed = 0
     for v in which:
         ts = {}
         try:
@@ -347,11 +349,17 @@ def main():
                 ts[n] = best
         except Exception as e:
             msg = str(e).splitlines()[0][:160]
-            print(f"{v}: TIMING FAILED — {msg}", flush=True)
+            print(f"{v}: TIMING FAILED — {msg}", file=sys.stderr,
+                  flush=True)
             continue
         dt = (ts[n2] - ts[n1]) / (n2 - n1)
+        timed += 1
         print(f"{v}: {dt*1e6:.1f} us/step  [raw {ts[n1]*1e3:.1f}/"
               f"{ts[n2]*1e3:.1f}ms]", flush=True)
+    if not timed:
+        print("probe: no variant produced timings", file=sys.stderr,
+              flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
