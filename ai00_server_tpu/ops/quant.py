@@ -203,6 +203,71 @@ def quantize_sf4(w: np.ndarray) -> QuantizedLinear:
 QUANTIZERS = {"int8": quantize_int8, "nf4": quantize_nf4,
               "sf4": quantize_sf4}
 
+
+# -- device-side quantizers ----------------------------------------------
+# Same blocking/packing as the numpy quantizers above, but running on the
+# accelerator: the bench host is single-core and memory-starved (~1.5M
+# numpy RNG samples/s measured), so multi-billion-parameter quantization
+# must never touch host RAM.  A leading layer axis is processed via
+# ``lax.map`` so the f32 intermediates never exceed one layer's footprint.
+
+def _quantize_int8_jax_2d(w):
+    in_dim, out = w.shape
+    nb = in_dim // INT8_BLOCK
+    wb = w.reshape(nb, INT8_BLOCK, out).astype(jnp.float32)
+    s = jnp.maximum(jnp.abs(wb).max(axis=-2, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wb / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_int8_jax(w) -> QuantizedLinear:
+    """Device-side :func:`quantize_int8` (same codes/scales)."""
+    *lead, in_dim, out = w.shape
+    assert in_dim % INT8_BLOCK == 0, f"in dim {in_dim} % {INT8_BLOCK}"
+    if w.ndim == 2:
+        q, s = jax.jit(_quantize_int8_jax_2d)(w)
+    else:
+        assert w.ndim == 3
+        q, s = jax.jit(lambda x: jax.lax.map(_quantize_int8_jax_2d, x))(w)
+    return QuantizedLinear("int8", q, s, (in_dim, out))
+
+
+def _quantize_4bit_jax_2d(w, mids, table_size=16):
+    in_dim, out = w.shape
+    nb = in_dim // NF4_BLOCK
+    half = NF4_BLOCK // 2
+    blocks = w.reshape(nb, NF4_BLOCK, out).astype(jnp.float32)
+    absmax = jnp.maximum(jnp.abs(blocks).max(axis=-2, keepdims=True), 1e-12)
+    norm = blocks / absmax
+    codes = jnp.searchsorted(mids, norm).astype(jnp.uint8)
+    lo = codes[:, :half, :]
+    hi = codes[:, half:, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed, (absmax / 127.0).astype(jnp.float32)
+
+
+def quantize_4bit_jax(w, mode: str) -> QuantizedLinear:
+    """Device-side :func:`quantize_nf4`/``sf4`` (same codes/scales)."""
+    table8 = NF4_TABLE8 if mode == "nf4" else SF4_TABLE8
+    eff = table8.astype(np.float32) / 127.0
+    mids = jnp.asarray((eff[1:] + eff[:-1]) / 2, jnp.float32)
+    *lead, in_dim, out = w.shape
+    assert in_dim % NF4_BLOCK == 0
+    if w.ndim == 2:
+        q, s = jax.jit(_quantize_4bit_jax_2d)(w, mids)
+    else:
+        assert w.ndim == 3
+        q, s = jax.jit(lambda x, m: jax.lax.map(
+            lambda y: _quantize_4bit_jax_2d(y, m), x))(w, mids)
+    return QuantizedLinear(mode, q, s, (in_dim, out))
+
+
+QUANTIZERS_JAX = {
+    "int8": quantize_int8_jax,
+    "nf4": lambda w: quantize_4bit_jax(w, "nf4"),
+    "sf4": lambda w: quantize_4bit_jax(w, "sf4"),
+}
+
 # Large projection weights eligible for quantization (the reference
 # quantizes the matmul weights, not norms/mixers).
 _QUANT_KEYS_ATT = ("receptance", "key", "value", "gate", "output")

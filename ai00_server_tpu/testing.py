@@ -166,3 +166,156 @@ def make_tiny_model(version=ModelVersion.V7, seed=0, dtype=np.float32, **kw):
     raw = make_raw_weights(info, seed=seed)
     params = make_params(info, raw, dtype=dtype)
     return info, raw, params
+
+
+def make_stacked_random_device(info: ModelInfo, seed=0, dtype=None,
+                               quant: str | None = None):
+    """Random stacked forward pytree generated ON THE ACCELERATOR.
+
+    Produces the same structure/dtypes as ``loader.stack_params`` over
+    :func:`make_raw_weights` (one layer group; ``quant`` applies one mode
+    to every layer), but never materializes weights on the host: the
+    bench host is single-core and memory-starved (~1.5M numpy RNG
+    samples/s measured), so a 7B host-side build takes over an hour
+    while the device build takes seconds.  Values are NOT bit-identical
+    to the host path (different RNG); distributions and scales match.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.quant import QUANTIZERS_JAX
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    C, V, F, L = info.num_emb, info.num_vocab, info.num_hidden, \
+        info.num_layer
+    H, N = info.num_head, info.head_size
+    ver = info.version
+    D = LORA_DIMS
+
+    root = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def rand(*shape, scale=0.4, base=0.0, gen_dtype=None):
+        counter[0] += 1
+        k = jax.random.fold_in(root, counter[0])
+
+        @jax.jit
+        def gen(k):
+            x = jax.random.normal(
+                k, shape, gen_dtype or jnp.float32) * scale + base
+            return x.astype(dtype)
+
+        return gen(k)
+
+    def big(*shape, scale=0.4):
+        """A large linear weight: quantized on device when requested."""
+        if not quant:
+            return rand(*shape, scale=scale, gen_dtype=jnp.bfloat16)
+        w = rand(*shape, scale=scale, gen_dtype=jnp.bfloat16)
+        return QUANTIZERS_JAX[quant](w)
+
+    def ln_pair():
+        return (rand(L, C, scale=0.1, base=1.0), rand(L, C, scale=0.1))
+
+    # Embedding with ln0 folded (per-row layernorm, matching stack_params).
+    counter[0] += 1
+    k_emb = jax.random.fold_in(root, counter[0])
+
+    @jax.jit
+    def gen_emb(k):
+        ke, kw, kb = jax.random.split(k, 3)
+        e = jax.random.normal(ke, (V, C), jnp.float32) * 0.4
+        w0 = 1.0 + jax.random.normal(kw, (C,), jnp.float32) * 0.1
+        b0 = jax.random.normal(kb, (C,), jnp.float32) * 0.1
+        mean = e.mean(-1, keepdims=True)
+        var = e.var(-1, keepdims=True)
+        e = (e - mean) / jnp.sqrt(var + 1e-5) * w0 + b0
+        return e.astype(dtype)
+
+    emb = gen_emb(k_emb)
+
+    d = {}
+    d["ln1_w"], d["ln1_b"] = ln_pair()
+    d["ln2_w"], d["ln2_b"] = ln_pair()
+
+    if ver == ModelVersion.V7:
+        att = {k: rand(L, C, scale=0.3)
+               for k in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g")}
+        att["w0"] = rand(L, C, scale=0.5)
+        att["w1"] = rand(L, C, D["w"])
+        att["w2"] = rand(L, D["w"], C)
+        att["a0"] = rand(L, C, scale=0.3)
+        att["a1"] = rand(L, C, D["a"])
+        att["a2"] = rand(L, D["a"], C)
+        # v0/v1/v2 are zero for layer 0 (the first layer has no value
+        # residual), matching stack_params' zeros for missing keys.
+        mask = (jnp.arange(L) > 0).astype(jnp.float32)[:, None]
+        att["v0"] = (rand(L, C, scale=0.3).astype(jnp.float32)
+                     * mask).astype(dtype)
+        att["v1"] = (rand(L, C, D["v"]).astype(jnp.float32)
+                     * mask[..., None]).astype(dtype)
+        att["v2"] = (rand(L, D["v"], C).astype(jnp.float32)
+                     * mask[..., None]).astype(dtype)
+        att["g1"] = rand(L, C, D["g"])
+        att["g2"] = rand(L, D["g"], C)
+        att["k_k"] = rand(L, C, scale=0.2, base=0.5)
+        att["k_a"] = rand(L, C, scale=0.2, base=0.5)
+        att["r_k"] = rand(L, H, N, scale=0.3)
+        att["ln_x_w"], att["ln_x_b"] = ln_pair()
+        for k in ("receptance", "key", "value", "output"):
+            att[k] = big(L, C, C)
+        ffn = {"x_k": rand(L, C, scale=0.3),
+               "key": big(L, C, F), "value": big(L, F, C)}
+    elif ver == ModelVersion.V6:
+        att = {("mix_" + k): rand(L, C, scale=0.3)
+               for k in ("x", "w", "k", "v", "r", "g")}
+        att["mix_w1"] = rand(L, C, 5 * D["tm"])
+        att["mix_w2"] = rand(L, 5, D["tm"], C)
+        att["decay"] = rand(L, C, scale=0.5)
+        att["decay_w1"] = rand(L, C, D["td"])
+        att["decay_w2"] = rand(L, D["td"], C)
+        att["first"] = rand(L, H, N, scale=0.5)
+        att["ln_x_w"], att["ln_x_b"] = ln_pair()
+        for k in ("receptance", "key", "value", "gate", "output"):
+            att[k] = big(L, C, C)
+        ffn = {"mix_k": rand(L, C, scale=0.3),
+               "mix_r": rand(L, C, scale=0.3),
+               "key": big(L, C, F), "receptance": big(L, C, C),
+               "value": big(L, F, C)}
+    elif ver == ModelVersion.V5:
+        att = {("time_mix_" + k): rand(L, C, scale=0.2, base=0.5)
+               for k in ("k", "v", "r", "g")}
+        att["time_decay"] = rand(L, H, N, scale=0.5)
+        att["time_first"] = rand(L, H, N, scale=0.5)
+        att["ln_x_w"], att["ln_x_b"] = ln_pair()
+        for k in ("receptance", "key", "value", "gate", "output"):
+            att[k] = big(L, C, C)
+        ffn = {"time_mix_k": rand(L, C, scale=0.2, base=0.5),
+               "time_mix_r": rand(L, C, scale=0.2, base=0.5),
+               "key": big(L, C, F), "receptance": big(L, C, C),
+               "value": big(L, F, C)}
+    else:  # V4
+        att = {("time_mix_" + k): rand(L, C, scale=0.2, base=0.5)
+               for k in ("k", "v", "r")}
+        att["time_decay"] = rand(L, C, scale=0.5)
+        att["time_first"] = rand(L, C, scale=0.5)
+        for k in ("receptance", "key", "value", "output"):
+            att[k] = big(L, C, C)
+        ffn = {"time_mix_k": rand(L, C, scale=0.2, base=0.5),
+               "time_mix_r": rand(L, C, scale=0.2, base=0.5),
+               "key": big(L, C, F), "receptance": big(L, C, C),
+               "value": big(L, F, C)}
+
+    d["att"] = att
+    d["ffn"] = ffn
+    return {
+        "emb": emb,
+        "groups": [{
+            "layer_index": jnp.arange(L, dtype=jnp.int32),
+            "layers": d,
+        }],
+        "ln_out_w": rand(C, scale=0.1, base=1.0),
+        "ln_out_b": rand(C, scale=0.1),
+        "head": rand(C, V, gen_dtype=jnp.bfloat16),
+    }
