@@ -110,12 +110,19 @@ class Engine:
                         and fd.FUSED_KEY not in model.params
                         and fd.can_fuse(model.params, batch=local_batch))
             if not eligible and fd is not None \
-                    and model.info.version.value == "V7" \
                     and fd.FUSED_KEY not in model.params \
                     and wkv_dispatch.phased_decode_mode() != "off":
-                from .ops import v7_phased_pallas as pdk
+                ver = model.info.version.value
+                if ver == "V7":
+                    from .ops import v7_phased_pallas as pdk
 
-                eligible = pdk.can_phase(model.params, batch=local_batch)
+                    eligible = pdk.can_phase(model.params,
+                                             batch=local_batch)
+                elif ver in ("V5", "V6"):
+                    from .ops import v56_phased_pallas as pdk
+
+                    eligible = pdk.can_phase(model.params, local_batch,
+                                             ver)
             if eligible:
                 model.params[fd.FUSED_KEY] = fd.make_fused_layout(
                     model.params)

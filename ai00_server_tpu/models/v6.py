@@ -128,13 +128,23 @@ def forward(params, state, tokens, lengths):
         # T=1 decode: fused whole-network Pallas kernel (one op per step
         # instead of ~45/layer) — see ops/v6_decode_pallas.py.  The
         # engine installs the fused weight layout at load when eligible.
+        # Models too large for whole-layer VMEM windows (7B-class) take
+        # the phased whole-layer kernel (ops/v56_phased_pallas.py).
         from ..ops import wkv as wkv_dispatch
         from ..ops import v6_decode_pallas as fd
 
-        mode = wkv_dispatch.fused_decode_mode()
-        if mode != "off" and fd.supports(params):
-            return fd.forward_t1(params, state, tokens, lengths,
-                                 interpret=(mode == "interpret"))
+        if fd.supports(params):
+            B = tokens.shape[0]
+            mode = wkv_dispatch.fused_decode_mode()
+            if mode != "off" and fd.can_fuse(params, batch=B):
+                return fd.forward_t1(params, state, tokens, lengths,
+                                     interpret=(mode == "interpret"))
+            from ..ops import v56_phased_pallas as pd
+
+            pmode = wkv_dispatch.phased_decode_mode()
+            if pmode != "off" and pd.can_phase(params, B, "V6"):
+                return pd.forward_t1(params, state, tokens, lengths, "V6",
+                                     interpret=(pmode == "interpret"))
     x = params["emb"][tokens]  # ln0 folded into emb at load
     new_att_x, new_wkv, new_ffn_x = [], [], []
     offset = 0

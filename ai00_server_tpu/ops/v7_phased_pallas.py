@@ -191,20 +191,23 @@ def _wkvg_variant() -> str:
     """AI00_PHASED_WKVG selects the WKV head-group body form (read at
     trace time, like the other phased A/B flags):
 
-        tchain (default)  math in (Hc, B, N, N) — the state window is
-                          swapaxes(0,1)-relayouted in and out (~2 MB
-                          each way at B=16 Hc=8 N=64)
-        bform             math in the window's NATIVE (B, Hc, N, N)
+        bform (default)   math in the window's NATIVE (B, Hc, N, N)
                           layout — no state relayout at all; the seven
                           small per-group vectors take one extra
                           (Hc, B, N) -> (B, Hc, N) permute each
+        tchain            math in (Hc, B, N, N) — the state window is
+                          swapaxes(0,1)-relayouted in and out (~2 MB
+                          each way at B=16 Hc=8 N=64)
 
-    Candidates from tools/probe_wkvg.py (raced standalone on hardware);
-    the probe's "slab" form needs a different HBM state layout and is
-    not integrated."""
+    Raced standalone on hardware (tools/probe_wkvg.py, 2.86B geometry
+    Hc=8 B=16 N=64): bform 11.4 us/group-step vs tchain 35.8 vs the
+    8.4 us DMA/layout floor — bform is within 3 us of the floor, so it
+    is the default.  The probe's "slab" form needs a different HBM
+    state layout (and failed to compile on the current toolchain); not
+    integrated."""
     import os
 
-    return os.environ.get("AI00_PHASED_WKVG", "tchain")
+    return os.environ.get("AI00_PHASED_WKVG", "bform")
 
 
 def _grid_mode() -> str:
@@ -244,7 +247,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
                 idx += 1
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
         (x_scr, vf_scr, xr_scr, xk_scr, xv_scr, yg_scr, racc, kacc, vacc,
-         oacc, hk_scr, kk_scr, aux_scr) = refs[idx + 4:]
+         oacc, hk_scr, kk_scr, aux_scr, vst_scr, yo_scr) = refs[idx + 4:]
 
         if flat:
             i = pl.program_id(0)
@@ -269,7 +272,9 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             return big.get(name + "_s") if qmode == "int8" else None
 
         # ---- layer entry: ln1, token-shift mixes, lora branches ----
-        @pl.when((w == 0) & keep("entry"))
+        # (split into two predicated bodies, "entry1"/"entry2", for the
+        # ONLY-flag bisection of cross-body lowering interactions)
+        @pl.when((w == 0) & (keep("entry") | keep("entry1")))
         def _():
             @pl.when(l == 0)
             def _():
@@ -283,10 +288,21 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             dx = (prev - ln1).astype(cd)
             mix = small["mix"][0]                     # (6, C)
             xr_scr[:] = (xa_in + dx * mix[0:1].astype(cd)).astype(jnp.float32)
-            xw = xa_in + dx * mix[1:2].astype(cd)
             xk_scr[:] = (xa_in + dx * mix[2:3].astype(cd)).astype(jnp.float32)
             xv = xa_in + dx * mix[3:4].astype(cd)
             xv_scr[:] = xv.astype(jnp.float32)
+            aux_scr[4] = ln1
+
+        @pl.when((w == 0) & (keep("entry") | keep("entry2")))
+        def _():
+            x = x_scr[:]
+            ln1 = aux_scr[4]
+            prev = att_x_ref[0].astype(jnp.float32)
+            xa_in = ln1.astype(cd)
+            dx = (prev - ln1).astype(cd)
+            mix = small["mix"][0]
+            xw = xa_in + dx * mix[1:2].astype(cd)
+            xv = xv_scr[:].astype(cd)
             xaa = xa_in + dx * mix[4:5].astype(cd)
             xg = xa_in + dx * mix[5:6].astype(cd)
 
@@ -311,7 +327,6 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             aux_scr[1] = a
             aux_scr[2] = g
             aux_scr[3] = vmix
-            aux_scr[4] = ln1
 
         # ---- att projection tiles (statically unrolled per tile:
         # the weight WINDOW tracks w via its index map; only the x slice
@@ -355,75 +370,86 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             natt_x_ref[0] = jnp.where(active, aux_scr[4],
                                       att_x_ref[0].astype(jnp.float32)
                                       ).astype(natt_x_ref.dtype)
+            # Stage each head group's seven vector segments as one
+            # (7B, GW) slab, leading-dim indexed by g: the group body
+            # below is a SINGLE code instance (dynamic g) — unrolling it
+            # per group makes Mosaic lower every instance's vector code
+            # into each grid step's predicated body (~450 us/group-step
+            # vs 18 standalone, tools/probe_wkvg.py PROBE_WIDE=4).
+            GWp = Hc * N
+            for gi in range(ng):
+                sl = slice(gi * GWp, (gi + 1) * GWp)
+                vst_scr[gi] = jnp.concatenate([
+                    kk_scr[:, sl],       # 0: kk   (j-indexed)
+                    aux_scr[0][:, sl],   # 1: wdec (j)
+                    aux_scr[1][:, sl],   # 2: a    (j)
+                    kacc[:, sl],         # 3: masked k2 (j)
+                    racc[:, sl],         # 4: r    (j)
+                    aux_scr[3][:, sl],   # 5: rk bonus (j)
+                    vacc[:, sl],         # 6: v2   (i-indexed)
+                ], axis=0)
 
         # ---- WKV + GroupNorm + bonus, one head GROUP per step: the
         # (B, Hc, N, N) state window streams per group, so whole-layer
         # state VMEM is never needed ----
-        # One pass per head GROUP, fully vectorized: the state math runs
-        # as fused (Hc, B, N, N) passes.  (A per-head loop is ~7x
-        # slower for the whole kernel: half-lane (.., 64) ops plus an
-        # unaligned lane shuffle for every odd head's 64-offset slice —
-        # measured 18.2 vs 2.7 ms/step at 2.86B geometry.)  The seven
-        # per-head C-vector segments cross from lane-layout (B, GW)
-        # into head-major (Hc, B, N) via ONE stacked MXU transpose
-        # chain — Mosaic has no lane-splitting shape cast
-        # ((B, GW) -> (B, Hc, 1, N) fails to lower), but 2-D
-        # transposes, row-group reshapes, and minor-two-dim swaps all
-        # lower natively.
+        # ONE body instance with a TRACED group index (the staged
+        # (ng, 7B, GW) slab is leading-dim indexed): per-group unrolled
+        # pl.when bodies make Mosaic fold every instance's vector code
+        # into each predicated step (~450 us/group-step vs 18 for the
+        # identical single body, tools/probe_wkvg.py PROBE_WIDE=4).
+        # The state math runs fully vectorized over the group's 8 heads
+        # (a per-head loop is ~7x slower: half-lane (.., 64) ops plus
+        # an unaligned lane shuffle per odd head).  The seven per-head
+        # C-vector segments cross from lane-layout (B, GW) into
+        # head-major (Hc, B, N) via ONE stacked MXU transpose chain —
+        # Mosaic has no lane-splitting shape cast ((B, GW) ->
+        # (B, Hc, 1, N) fails to lower), but 2-D transposes, row-group
+        # reshapes, and minor-two-dim swaps all lower natively.
         GW = Hc * N
-        for g in range(ng):
-            @pl.when((w == 3 * na + g) & (keep("wkv") | keep("wkvg")))
-            def _(g=g):
-                gsl = slice(g * GW, (g + 1) * GW)
-                stacked = jnp.concatenate([
-                    kk_scr[:, gsl],      # 0: kk   (j-indexed)
-                    aux_scr[0][:, gsl],  # 1: wdec (j)
-                    aux_scr[1][:, gsl],  # 2: a    (j)
-                    kacc[:, gsl],        # 3: masked k2 (j)
-                    racc[:, gsl],        # 4: r    (j)
-                    aux_scr[3][:, gsl],  # 5: rk bonus (j)
-                    vacc[:, gsl],        # 6: v2   (i-indexed)
-                ], axis=0)                         # (7B, GW)
-                t = jnp.transpose(stacked)         # (GW, 7B)   MXU
-                t = t.reshape(Hc, N, 7 * B)        # row split
-                t = jnp.swapaxes(t, -1, -2)        # (Hc, 7B, N)
+        in_wkv = (w >= 3 * na) & (w < 3 * na + ng)
 
-                if wkvg == "bform":
-                    # Window-NATIVE (B, Hc, N, N) math: the two big
-                    # state relayouts vanish; each small vector takes
-                    # one extra (Hc, B, N) -> (B, Hc, N) permute.
-                    def vb(i):                     # (B, Hc, 1, N)
-                        return jnp.swapaxes(
-                            t[:, i * B:(i + 1) * B], 0, 1)[:, :, None, :]
+        @pl.when(in_wkv & (keep("wkv") | keep("wkvg")))
+        def _():
+            g = w - 3 * na
+            stacked = vst_scr[g]               # (7B, GW)
+            t = jnp.transpose(stacked)         # (GW, 7B)   MXU
+            t = t.reshape(Hc, N, 7 * B)        # row split
+            t = jnp.swapaxes(t, -1, -2)        # (Hc, 7B, N)
 
-                    kk4 = vb(0)
-                    kk4 = kk4 / jnp.maximum(
-                        jnp.sqrt(jnp.sum(kk4 * kk4, axis=-1,
-                                         keepdims=True)), 1e-12)
-                    kk4 = kk4.astype(cd).astype(jnp.float32)
-                    r4 = vb(4).astype(cd).astype(jnp.float32)
-                    v24 = jnp.swapaxes(vb(6), -1, -2)  # (B, Hc, N, 1)
-                    s = wkv_ref[0]                     # (B, Hc, N, N)
-                    skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
-                    s_new = (s * vb(1)
-                             - skk * (kk4 * vb(2))
-                             + v24 * vb(3))
-                    nwkv_ref[0] = s_new.astype(nwkv_ref.dtype)
-                    y = jnp.sum(s_new * r4, axis=-1)   # (B, Hc, N)
-                    mean = jnp.mean(y, axis=-1, keepdims=True)
-                    var = jnp.var(y, axis=-1, keepdims=True)
-                    yn = (y - mean) * jax.lax.rsqrt(var + GN_EPS)
-                    rksum = jnp.sum(vb(5), axis=-1)    # (B, Hc, 1)
-                    ob = rksum * v24[..., 0]           # (B, Hc, N)
-                    # (B, Hc, N) -> (2B, GW) lane layout.
-                    o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=0),
-                                     0, 1)             # (Hc, 2B, N)
-                    o = jnp.swapaxes(o, -1, -2)        # (Hc, N, 2B)
-                    o = jnp.transpose(o.reshape(GW, 2 * B))
-                    yg_scr[:, gsl] = o[:B]
-                    oacc[:, gsl] = o[B:]
-                    return
+            if wkvg == "bform":
+                # Window-NATIVE (B, Hc, N, N) math: the two big
+                # state relayouts vanish; each small vector takes
+                # one extra (Hc, B, N) -> (B, Hc, N) permute.
+                def vb(i):                     # (B, Hc, 1, N)
+                    return jnp.swapaxes(
+                        t[:, i * B:(i + 1) * B], 0, 1)[:, :, None, :]
 
+                kk4 = vb(0)
+                kk4 = kk4 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(kk4 * kk4, axis=-1,
+                                     keepdims=True)), 1e-12)
+                kk4 = kk4.astype(cd).astype(jnp.float32)
+                r4 = vb(4).astype(cd).astype(jnp.float32)
+                v24 = jnp.swapaxes(vb(6), -1, -2)  # (B, Hc, N, 1)
+                s = wkv_ref[0]                     # (B, Hc, N, N)
+                skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
+                s_new = (s * vb(1)
+                         - skk * (kk4 * vb(2))
+                         + v24 * vb(3))
+                nwkv_ref[0] = s_new.astype(nwkv_ref.dtype)
+                y = jnp.sum(s_new * r4, axis=-1)   # (B, Hc, N)
+                mean = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.var(y, axis=-1, keepdims=True)
+                yn = (y - mean) * jax.lax.rsqrt(var + GN_EPS)
+                rksum = jnp.sum(vb(5), axis=-1)    # (B, Hc, 1)
+                ob = rksum * v24[..., 0]           # (B, Hc, N)
+                # (B, Hc, N) -> (2B, GW) lane layout.
+                o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=0),
+                                 0, 1)             # (Hc, 2B, N)
+                o = jnp.swapaxes(o, -1, -2)        # (Hc, N, 2B)
+                o = jnp.transpose(o.reshape(GW, 2 * B))
+                yo_scr[g] = o
+            else:
                 def v4(i):                         # (Hc, B, 1, N)
                     return t[:, i * B:(i + 1) * B][:, :, None, :]
 
@@ -451,12 +477,18 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
                 o = jnp.swapaxes(jnp.concatenate([yn, ob], axis=1),
                                  -1, -2)           # (Hc, N, 2B)
                 o = jnp.transpose(o.reshape(GW, 2 * B))   # (2B, GW)
-                yg_scr[:, gsl] = o[:B]
-                oacc[:, gsl] = o[B:]
+                yo_scr[g] = o
 
         # ---- epilogue + output projection tiles ----
         @pl.when((w == 3 * na + ng) & keep("epi"))
         def _():
+            # Reassemble the groups' outputs into (B, C) lane layout
+            # (static slices, ONCE per layer).
+            for gi in range(ng):
+                sl = slice(gi * GW, (gi + 1) * GW)
+                o = yo_scr[gi]
+                yg_scr[:, sl] = o[:B]
+                oacc[:, sl] = o[B:]
             g_gate = aux_scr[2]
             yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
             yg_scr[:] = yf * g_gate
@@ -673,7 +705,9 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                ] + [pltpu.VMEM((B, C), jnp.float32)] * 9 + [
                pltpu.VMEM((B, F), jnp.float32),          # hk_scr
                pltpu.VMEM((B, C), jnp.float32),          # kk_scr
-               pltpu.VMEM((5, B, C), jnp.float32)]       # aux (wdec,a,g,rk,ln1)
+               pltpu.VMEM((5, B, C), jnp.float32),       # aux (wdec,a,g,rk,ln1)
+               pltpu.VMEM((ng, 7 * B, Hc * N), jnp.float32),  # vst (staged)
+               pltpu.VMEM((ng, 2 * B, Hc * N), jnp.float32)]  # yo (per-group)
 
     if "dma" in abl:
         # Bisection mode: EMPTY body (same specs => same DMA schedule,

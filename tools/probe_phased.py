@@ -82,8 +82,9 @@ def main():
                                    - h_ref.astype(jnp.float32))))
         ds = float(jnp.max(jnp.abs(s_p["wkv"] - s_ref["wkv"])))
         hs = float(jnp.max(jnp.abs(h_ref.astype(jnp.float32))))
-        print(f"max|dh|={dh:.4g} (ref max {hs:.4g})  max|dwkv|={ds:.4g}",
-              file=sys.stderr)
+        ss = float(jnp.max(jnp.abs(s_ref["wkv"])))
+        print(f"max|dh|={dh:.4g} (ref max {hs:.4g})  max|dwkv|={ds:.4g} "
+              f"(ref max {ss:.4g})", file=sys.stderr)
 
     # Chained timing: feed argmax token back in, N steps, at TWO chain
     # lengths — the slope (t2-t1)/(n2-n1) cancels the 30-114 ms tunnel

@@ -229,23 +229,95 @@ def main():
                 oac_ref[...] = v_ref[1]
                 return
 
-            if variant == "loop":
-                body_loop(sv_ref[0], v_ref, yg_scr, oac_scr, sout_ref)
-            elif variant == "tchain":
-                body_tchain(sv_ref[0], v_ref, yg_scr, oac_scr,
-                            sout_ref)
-            elif variant == "math":
-                def v4(j):
-                    return v4_ref[j][:, :, None, :]
-                _math(jnp.swapaxes(sv_ref[0], 0, 1), v4,
-                      yg_scr, oac_scr, sout_ref, True)
-            elif variant == "bform":
-                body_bform(sv_ref[0], v4_ref, yg_scr, oac_scr, sout_ref)
-            yg_ref[...] = yg_scr[...]
-            oac_ref[...] = oac_scr[...]
+            def body():
+                if variant == "loop":
+                    body_loop(sv_ref[0], v_ref, yg_scr, oac_scr, sout_ref)
+                elif variant == "tchain":
+                    body_tchain(sv_ref[0], v_ref, yg_scr, oac_scr,
+                                sout_ref)
+                elif variant == "math":
+                    def v4(j):
+                        return v4_ref[j][:, :, None, :]
+                    _math(jnp.swapaxes(sv_ref[0], 0, 1), v4,
+                          yg_scr, oac_scr, sout_ref, True)
+                elif variant == "bform":
+                    body_bform(sv_ref[0], v4_ref, yg_scr, oac_scr,
+                               sout_ref)
+                yg_ref[...] = yg_scr[...]
+                oac_ref[...] = oac_scr[...]
+
+            if not PRED:
+                body()
+                return
+            # PROBE_PRED mode: mimic the INTEGRATED phased kernel's
+            # conditions — the body runs under pl.when on 1 of PH grid
+            # steps, the ring window index map is constant within each
+            # PH-step "layer" (like the clamped windows), and the other
+            # steps run a trivial predicated touch (like the dot tiles).
+            if WIDE and variant == "tchain":
+                # PROBE_WIDE: vectors arrive as LANE-SLICES of a wide
+                # (B, NG*GW) array, with NG unrolled group bodies doing
+                # the transpose chain + math and lane-sliced stores —
+                # the integrated phased kernel's exact read/write
+                # pattern inside its wkv phase.
+                for g in range(NG):
+                    @pl.when((i % PH == 0) & ((i // PH) % NG == g))
+                    def _(g=g):
+                        if WIDE == 4:      # unrolled bodies, narrow refs
+                            body_tchain(sv_ref[0], v_ref, yg_scr,
+                                        oac_scr, sout_ref)
+                            yg_ref[...] = yg_scr[...]
+                            oac_ref[...] = oac_scr[...]
+                            return
+                        gsl = slice(g * GW, (g + 1) * GW)
+                        if WIDE == 3:      # narrow reads, sliced stores
+                            stacked = jnp.concatenate(
+                                [v_ref[j][:, 0:GW] for j in range(7)],
+                                axis=0)
+                        else:
+                            stacked = jnp.concatenate(
+                                [v_ref[j][:, gsl] for j in range(7)],
+                                axis=0)
+                        t = jnp.transpose(stacked)
+                        t = t.reshape(Hc, N, 7 * B)
+                        t = jnp.swapaxes(t, -1, -2)
+
+                        def v4(j):
+                            return t[:, j * B:(j + 1) * B][:, :, None, :]
+
+                        if WIDE == 2:      # sliced reads, narrow stores
+                            _math(jnp.swapaxes(sv_ref[0], 0, 1), v4,
+                                  yg_scr.at[:, 0:GW], oac_scr.at[:, 0:GW],
+                                  sout_ref, True)
+                            yg_ref[...] = yg_scr[:, 0:GW]
+                            oac_ref[...] = oac_scr[:, 0:GW]
+                        else:
+                            _math(jnp.swapaxes(sv_ref[0], 0, 1), v4,
+                                  yg_scr.at[:, gsl], oac_scr.at[:, gsl],
+                                  sout_ref, True)
+                            yg_ref[...] = yg_scr[:, gsl]
+                            oac_ref[...] = oac_scr[:, gsl]
+            else:
+                pl.when(i % PH == 0)(body)
+
+            @pl.when(i % PH == 1)
+            def _():
+                yg_ref[...] = yg_ref[...] * 1.0000001
+
         return kernel
 
+    PRED = os.environ.get("PROBE_PRED") == "1"
+    PH = int(os.environ.get("PROBE_PH", "13"))
+    WIDE = int(os.environ.get("PROBE_WIDE", "0"))
+    NG = int(os.environ.get("PROBE_NG", "5"))
+    vecs_wide = jnp.asarray(np.tile(vecs_np, (1, 1, NG)), jnp.float32)
+
     def ring_spec():
+        if PRED:
+            return pl.BlockSpec(
+                (1, B, Hc, N, N),
+                lambda i: ((i // PH) % RING, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec((1, B, Hc, N, N), lambda i: (i % RING, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -281,14 +353,16 @@ def main():
                 interpret=interp,
             )(sslab, vecs, v2i, bones, bonesT)
         v3 = vecsB if variant == "bform" else vecs4
+        vin = vecs_wide if (WIDE in (1, 2, 3) and variant == "tchain" and PRED) else vecs
+        scr_w = NG * GW if (WIDE in (1, 2, 3) and variant == "tchain" and PRED) else GW
         return pl.pallas_call(
             make_kernel(variant),
-            grid=(n,),
-            in_specs=[ring_spec(), const_spec(vecs), const_spec(v3)],
+            grid=(n * PH,) if PRED else (n,),
+            in_specs=[ring_spec(), const_spec(vin), const_spec(v3)],
             out_specs=out2 + [ring_spec()],
             out_shape=shp2 + [jax.ShapeDtypeStruct(svals.shape,
                                                    jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((B, GW), jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((B, scr_w), jnp.float32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interp,
