@@ -46,6 +46,13 @@ import numpy as np  # noqa: E402
 
 BASELINE_TOK_S = 11.6  # reference doc-example tok/s (module docstring)
 
+# Runtime counters sampled around the measured e2e window (delta is
+# reported in the part's JSON) — where the wall time actually goes.
+_METRIC_KEYS = ("steps", "step_seconds", "chunk_wait_s", "launch_s",
+                "chunk_launches", "chunk_successors", "merged_steps",
+                "merged_step_s", "decode_tokens", "prefill_tokens",
+                "rollbacks", "spec_dead_rows")
+
 WORLD_VOCAB = os.environ.get(
     "BENCH_TOKENIZER",
     "/root/reference/assets/tokenizer/rwkv_vocab_v20230424.json")
@@ -333,15 +340,19 @@ async def bench_e2e(model, engine, conc=16, n_tokens=256, chunk=16,
             d["warm_s"] = round(warm_s, 1)
             return d
         await asyncio.gather(*[one(i) for i in range(min(conc, 4))])
+        m0 = {k: runtime.metrics.get(k, 0) for k in _METRIC_KEYS}
         t0 = time.time()
         results = await asyncio.gather(*[one(i) for i in range(conc)])
         wall = time.time() - t0
         total = sum(r[0] for r in results)
+        dm = {k: round(runtime.metrics.get(k, 0) - m0[k], 3)
+              for k in _METRIC_KEYS}
         return {
             "tok_s": round(total / wall, 1),
             "total_tokens": total, "wall_s": round(wall, 2),
             "finish": sorted(set(r[2] for r in results)),
             "warm_s": round(warm_s, 1),
+            "runtime_metrics": dm,
         }
     finally:
         await client.close()
