@@ -30,6 +30,46 @@ def exact_search(index, queries, k=10):
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "iters", "blk"))
+def kmeans_blocked(key, data, nlist, iters=8, blk=65536):
+    """Memory-lean Lloyd k-means: assignment + accumulation stream over
+    ``blk``-row blocks under one jit, so the (N, nlist) distance matrix
+    never materializes beyond one block (~1 GB at blk=64Ki, nlist=4096).
+    One-hot accumulation rides the MXU: ``one_hot.T @ block``.
+    N must be a multiple of blk."""
+    N, D = data.shape
+    assert N % blk == 0, (N, blk)
+    idx = jax.random.choice(key, N, (nlist,), replace=False)
+    cent0 = data[idx].astype(jnp.float32)
+    blocks = data.reshape(N // blk, blk, D)
+
+    def one_iter(cent, _):
+        c2 = jnp.sum(cent * cent, -1)
+
+        def blk_step(carry, xb):
+            sums, counts = carry
+            xf = xb.astype(jnp.float32)
+            d2 = c2[None, :] - 2.0 * (xf @ cent.T)
+            a = jnp.argmin(d2, -1)
+            oh = jax.nn.one_hot(a, cent.shape[0], dtype=jnp.bfloat16)
+            sums = sums + jnp.dot(oh.T, xf.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            counts = counts + oh.sum(0).astype(jnp.float32)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk_step,
+            (jnp.zeros((cent.shape[0], D), jnp.float32),
+             jnp.zeros(cent.shape[0], jnp.float32)),
+            blocks)
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(one_iter, cent0, None, length=iters)
+    return cent
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "iters"))
 def kmeans(key, data, nlist, iters=10):
     """Lloyd k-means on device.  data: (N, D) -> centroids (nlist, D)."""
@@ -141,25 +181,123 @@ def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
                pscale=None):
     """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit.
     ``pscale`` dequantizes int8-coded clusters on the score accumulator
-    (one multiply per candidate, not per element)."""
+    (one multiply per candidate, not per element).
+
+    Probes are scanned one at a time so the candidate gather is
+    (Q, cap, D) per step, never (Q, nprobe, cap, D) — at the 10M-vector
+    north star (cap~2.8k, D=1024, Q=64, nprobe=32) the all-at-once
+    gather would be ~6 GB next to the ~12 GB resident index."""
     q = queries.astype(jnp.float32)
     cscore = q @ centroids.T                       # (Q, nlist)
     _, probe = jax.lax.top_k(cscore, nprobe)       # (Q, nprobe)
-
-    cand = packed[probe]                           # (Q, nprobe, cap, D)
-    cand_ids = packed_ids[probe]                   # (Q, nprobe, cap)
     dt = jnp.bfloat16 if packed.dtype == jnp.int8 else jnp.float32
-    scores = jnp.einsum("qd,qpcd->qpc", q.astype(dt), cand.astype(dt),
-                        preferred_element_type=jnp.float32)
-    if pscale is not None:
-        scores = scores * pscale[probe]
-    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    qd = q.astype(dt)
     Q = q.shape[0]
-    flat = scores.reshape(Q, -1)
-    flat_ids = cand_ids.reshape(Q, -1)
-    top, pos = jax.lax.top_k(flat, k)
-    ids = jnp.take_along_axis(flat_ids, pos, axis=1)
-    return top, ids
+    kk = min(k, packed.shape[1])
+
+    def body(carry, pcol):                         # pcol: (Q,) clusters
+        best_s, best_i = carry
+        cand = packed[pcol]                        # (Q, cap, D)
+        ids = packed_ids[pcol]                     # (Q, cap)
+        s = jnp.einsum("qd,qcd->qc", qd, cand.astype(dt),
+                       preferred_element_type=jnp.float32)
+        if pscale is not None:
+            s = s * pscale[pcol]
+        s = jnp.where(ids >= 0, s, -jnp.inf)
+        st, pos = jax.lax.top_k(s, kk)
+        sids = jnp.take_along_axis(ids, pos, axis=1)
+        cat_s = jnp.concatenate([best_s, st], axis=1)
+        cat_i = jnp.concatenate([best_i, sids], axis=1)
+        top, mpos = jax.lax.top_k(cat_s, k)
+        return (top, jnp.take_along_axis(cat_i, mpos, axis=1)), None
+
+    init = (jnp.full((Q, k), -jnp.inf, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32))
+    (scores, ids), _ = jax.lax.scan(body, init, probe.T)
+    return scores, ids
+
+
+class StreamedIVFBuilder:
+    """Builds an int8 IVFIndex entirely on device from data arriving in
+    fixed-size chunks — nothing N-sized ever touches the host.  Feed
+    chunks with :meth:`add`; every state update runs under one donated
+    jit so ``packed`` (the ~12 GB index at the 10M north star) is
+    updated in place.
+
+    ``cap`` is fixed up front (static shapes); rows landing in a full
+    cluster are dropped and counted (``dropped``).  For uniform random
+    data ``cap = mean + 8*sigma`` makes drops vanishingly rare."""
+
+    def __init__(self, centroids, cap: int, dim: int):
+        self.centroids = centroids.astype(jnp.float32)
+        nlist = centroids.shape[0]
+        self.nlist, self.cap, self.dim = nlist, cap, dim
+        self.packed = jnp.zeros((nlist, cap, dim), jnp.int8)
+        self.packed_ids = jnp.full((nlist, cap), -1, jnp.int32)
+        self.pscale = jnp.zeros((nlist, cap), jnp.float32)
+        self.fill = jnp.zeros(nlist, jnp.int32)
+        self.dropped = jnp.zeros((), jnp.int32)
+        self._c2 = jnp.sum(self.centroids * self.centroids, -1)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4))
+
+    def _step_impl(self, packed, pids, pscale, fill, dropped, x, base):
+        cap = self.cap
+        xf = x.astype(jnp.float32)
+        d2 = self._c2[None, :] - 2.0 * (xf @ self.centroids.T)
+        a = jnp.argmin(d2, -1).astype(jnp.int32)
+        n = a.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # Rank of each row within its cluster inside this chunk: sort by
+        # cluster, then position-since-run-start via a running max over
+        # run-start indices.
+        order = jnp.argsort(a)
+        sa = a[order]
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, idx, 0))
+        rank = jnp.zeros_like(a).at[order].set(idx - run_start)
+        pos = fill[a] + rank
+        ok = pos < cap
+        pos_w = jnp.where(ok, pos, cap)        # cap = OOB -> mode="drop"
+        scale = jnp.maximum(jnp.abs(xf).max(-1), 1e-12) / 127.0
+        codes = jnp.clip(jnp.round(xf / scale[:, None]),
+                         -127, 127).astype(jnp.int8)
+        packed = packed.at[a, pos_w].set(codes, mode="drop")
+        pids = pids.at[a, pos_w].set(base + idx, mode="drop")
+        pscale = pscale.at[a, pos_w].set(scale, mode="drop")
+        fill = fill + jnp.zeros_like(fill).at[a].add(1)
+        dropped = dropped + (~ok).sum().astype(jnp.int32)
+        return packed, pids, pscale, fill, dropped
+
+    def add(self, x, base_id: int):
+        """x: (chunk, D) device array; base_id: global id of row 0."""
+        (self.packed, self.packed_ids, self.pscale, self.fill,
+         self.dropped) = self._step(
+            self.packed, self.packed_ids, self.pscale, self.fill,
+            self.dropped, x, jnp.int32(base_id))
+
+    def finish(self) -> IVFIndex:
+        return IVFIndex(centroids=self.centroids, packed=self.packed,
+                        packed_ids=self.packed_ids, nlist=self.nlist,
+                        cap=self.cap, pscale=self.pscale)
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def topk_merge_chunk(best_s, best_i, x, base, queries, k=10):
+    """Running exact top-k over streamed index chunks, all on device:
+    merge (Q, k) running bests with this chunk's top-k.  Ground-truth
+    companion to :class:`StreamedIVFBuilder` (host never sees N-sized
+    data)."""
+    s = jnp.dot(queries.astype(x.dtype), x.T,
+                preferred_element_type=jnp.float32)
+    kk = min(k, x.shape[0])
+    st, pos = jax.lax.top_k(s, kk)
+    ids = pos.astype(jnp.int32) + base
+    cat_s = jnp.concatenate([best_s, st], axis=1)
+    cat_i = jnp.concatenate([best_i, ids], axis=1)
+    top, mpos = jax.lax.top_k(cat_s, k)
+    return top, jnp.take_along_axis(cat_i, mpos, axis=1)
 
 
 def exact_search_chunked(data: np.ndarray, queries, k=10,

@@ -53,7 +53,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.common import GN_EPS, LN_EPS
-from .v7_phased_pallas import HEAD_GROUP, _acc_add, _big_entries, _tiled_dot
+from .v7_phased_pallas import (
+    HEAD_GROUP, _acc_add, _big_entries, _dots_variant, _mono_dot,
+    _tiled_dot,
+)
 
 _ATT = ("Wr", "Wk", "Wv", "Wg", "Wo")
 _FFN = ("fkey", "frec", "fval")
@@ -100,7 +103,10 @@ def pick_na(C, F, H, N, batch, esize, version="V6",
     # f32, plus the v6 maa/decay loras (12 arrays of C x 8-ish).
     lora = 12 * (C * 8 + 8 * C) * esize if version == "V6" else 0
     smalls = 2 * ((6 * C + 4 * C) * esize + 6 * C * 4 + lora)
-    scratch = (13 * batch * C + batch * F) * 4
+    # 13 (B, C) + (B, F) + mono transposed staging (6 C-sized +
+    # fxkT C-sized + hkT F-sized slabs).
+    scratch = (13 * batch * C + batch * F
+               + (7 * C + F) * batch) * 4
     state = 4 * batch * hc * N * N * 4 + 8 * batch * C * 4
     for na in range(1, 33):
         if C % na or (C // na) % 128:
@@ -143,7 +149,7 @@ def _na_ok(C, F, na):
 
 
 def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
-            vec_idx):
+            vec_idx, dots="mono"):
     nf = 4 * na
     ng = H // Hc
     W = 14 * na + ng
@@ -163,8 +169,17 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
                 big[k + "_s"] = refs[idx]
                 idx += 1
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
+        rest = refs[idx + 4:]
         (x_scr, xr_scr, xk_scr, xv_scr, xg_scr, yg_scr, racc, kacc, vacc,
-         gacc, oacc, hk_scr, aux_scr) = refs[idx + 4:]
+         gacc, oacc, hk_scr, aux_scr) = rest[:13]
+        if dots == "mono":
+            (xrT, xkT, xvT, xgT, ygT, fxrT, fxkT, hkT) = rest[13:21]
+
+        def stage_T(dst, src_scr, count, K):
+            """(B, count*K) lane-layout scratch -> (count, K, B) slabs
+            for traced-tile indexing (see v7_phased_pallas)."""
+            for t in range(count):
+                dst[t] = jnp.transpose(src_scr[:, t * K:(t + 1) * K])
 
         i = pl.program_id(0)
         l = i // W
@@ -237,18 +252,40 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
 
             natt_x_ref[0] = jnp.where(active, ln1, prev
                                       ).astype(natt_x_ref.dtype)
+            if dots == "mono":
+                stage_T(xrT, xr_scr, na, C // na)
+                stage_T(xkT, xk_scr, na, C // na)
+                stage_T(xvT, xv_scr, na, C // na)
+                stage_T(xgT, xg_scr, na, C // na)
 
-        # ---- att projection tiles ----
-        for name, xsrc, accr, lo in (("Wr", xr_scr, racc, 0),
-                                     ("Wk", xk_scr, kacc, na),
-                                     ("Wv", xv_scr, vacc, 2 * na),
-                                     ("Wg", xg_scr, gacc, 3 * na)):
-            for t in range(na):
+        # ---- projection tiles: ONE predicated body per weight array
+        # with a traced tile index (mono, default) or per-(array, tile)
+        # unrolled bodies — Mosaic charges every body's vector code per
+        # grid step; see v7_phased_pallas._dots_variant ----
+        def dot_phase(lo, count, xT, xsrc, accr, name):
+            if dots == "mono":
+                @pl.when((w >= lo) & (w < lo + count))
+                def _():
+                    t = w - lo
+                    part = _mono_dot(xT[t], big[name], sref(name), cd)
+                    accr[:] = jnp.where(t == 0, part, accr[:] + part)
+                return
+            K = xsrc.shape[1] // count
+            for t in range(count):
                 @pl.when(w == lo + t)
-                def _(name=name, xsrc=xsrc, accr=accr, t=t):
-                    part = _tiled_dot(xsrc, t * Kt, Kt, big[name],
+                def _(t=t):
+                    part = _tiled_dot(xsrc, t * K, K, big[name],
                                       sref(name), cd)
                     _acc_add(accr, part, t == 0)
+
+        dot_phase(0, na, xrT if dots == "mono" else None, xr_scr,
+                  racc, "Wr")
+        dot_phase(na, na, xkT if dots == "mono" else None, xk_scr,
+                  kacc, "Wk")
+        dot_phase(2 * na, na, xvT if dots == "mono" else None, xv_scr,
+                  vacc, "Wv")
+        dot_phase(3 * na, na, xgT if dots == "mono" else None, xg_scr,
+                  gacc, "Wg")
 
         # ---- WKV prologue (same grid step as group 0, defined first):
         # r/k/v round through the compute dtype like the fused kernels;
@@ -314,13 +351,11 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
             g_silu = g_f * jax.nn.sigmoid(g_f)
             yf = yg_scr[:] * vec("lnx_w") + vec("lnx_b")
             yg_scr[:] = yf * g_silu
+            if dots == "mono":
+                stage_T(ygT, yg_scr, na, Kt)
 
-        for t in range(na):
-            @pl.when(w == 4 * na + ng + t)
-            def _(t=t):
-                part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"],
-                                  sref("Wo"), cd)
-                _acc_add(oacc, part, t == 0)
+        dot_phase(4 * na + ng, na, ygT if dots == "mono" else None,
+                  yg_scr, oacc, "Wo")
 
         # ---- ffn entry: residual add + ln2, both shift mixes ----
         @pl.when(w == 5 * na + ng)
@@ -337,22 +372,17 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
             xr_scr[:] = fxr.astype(jnp.float32)
             nffn_x_ref[0] = jnp.where(active, ln2, fprev
                                       ).astype(nffn_x_ref.dtype)
+            if dots == "mono":
+                stage_T(fxrT, xr_scr, na, Kt)
+                stage_T(fxkT, xk_scr, nf, Ktf)
 
         # ---- ffn receptance tiles (the sigmoid gate) ----
-        for t in range(na):
-            @pl.when(w == 5 * na + ng + t)
-            def _(t=t):
-                part = _tiled_dot(xr_scr, t * Kt, Kt, big["frec"],
-                                  sref("frec"), cd)
-                _acc_add(gacc, part, t == 0)          # reuse gacc
+        dot_phase(5 * na + ng, na, fxrT if dots == "mono" else None,
+                  xr_scr, gacc, "frec")               # reuse gacc
 
         # ---- ffn key tiles ----
-        for t in range(nf):
-            @pl.when(w == 6 * na + ng + t)
-            def _(t=t):
-                part = _tiled_dot(xk_scr, t * Ktf, Ktf, big["fkey"],
-                                  sref("fkey"), cd)
-                _acc_add(hk_scr, part, t == 0)
+        dot_phase(6 * na + ng, nf, fxkT if dots == "mono" else None,
+                  xk_scr, hk_scr, "fkey")
 
         # ---- relu^2 + sigmoid gate ----
         @pl.when(w == 10 * na + ng)
@@ -361,14 +391,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
             hk_scr[:] = jnp.square(jnp.maximum(hk, 0.0)
                                    ).astype(cd).astype(jnp.float32)
             gacc[:] = jax.nn.sigmoid(gacc[:])
+            if dots == "mono":
+                stage_T(hkT, hk_scr, nf, Ktv)
 
         # ---- ffn value tiles ----
-        for t in range(nf):
-            @pl.when(w == 10 * na + ng + t)
-            def _(t=t):
-                part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
-                                  sref("fval"), cd)
-                _acc_add(racc, part, t == 0)          # reuse racc
+        dot_phase(10 * na + ng, nf, hkT if dots == "mono" else None,
+                  hk_scr, racc, "fval")               # reuse racc
 
         @pl.when(w == 14 * na + ng - 1)
         def _():
@@ -392,13 +420,17 @@ def _ln(x, w, b, eps):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("version", "na", "interpret"))
+                   static_argnames=("version", "na", "interpret",
+                                    "dots"))
 def forward_t1(params, state, tokens, lengths, version, na=None,
-               interpret=False):
+               interpret=False, dots=None):
     """Phased single-token decode: drop-in for models/v5.forward /
     v6.forward at T=1 on models too large for the fused whole-network
     kernel.  ``na`` (tiles per CxC matrix) defaults to the smallest
-    aligned count whose windows fit the VMEM budget (pick_na)."""
+    aligned count whose windows fit the VMEM budget (pick_na); ``dots``
+    the projection-tile body form (v7_phased_pallas._dots_variant)."""
+    if dots is None:
+        dots = _dots_variant()
     fd, small_keys = _modules(version)
     fused = params[fd.FUSED_KEY]
     L = fused["ln1"].shape[0]
@@ -506,9 +538,17 @@ def forward_t1(params, state, tokens, lengths, version, na=None,
     scratch = ([pltpu.VMEM((B, C), jnp.float32)] * 11 + [
                pltpu.VMEM((B, F), jnp.float32),          # hk_scr
                pltpu.VMEM((1, B, C), jnp.float32)])      # aux (wdec)
+    if dots == "mono":
+        # Transposed x staging slabs for traced-tile mono dot bodies:
+        # xrT/xkT/xvT/xgT/ygT/fxrT (na, Kt, B), fxkT (nf, Ktf, B),
+        # hkT (nf, Ktv, B).
+        nf = 4 * na
+        scratch += [pltpu.VMEM((na, C // na, B), jnp.float32)] * 6 + [
+            pltpu.VMEM((nf, C // nf, B), jnp.float32),
+            pltpu.VMEM((nf, F // nf, B), jnp.float32)]
 
     kernel = _kernel(H, N, na, F, cd, qmode, Hc, version, tuple(small_keys),
-                     dict(fd._VEC_IDX))
+                     dict(fd._VEC_IDX), dots=dots)
 
     # The WKV state window streams in-place — each head group's block is
     # read before it is written.
@@ -521,7 +561,7 @@ def forward_t1(params, state, tokens, lengths, version, na=None,
         scratch_shapes=scratch,
         input_output_aliases={3: 2},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=117 * 1024 * 1024),
         interpret=interpret,
     )(*in_arrays)
 

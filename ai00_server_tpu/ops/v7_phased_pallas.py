@@ -88,7 +88,10 @@ def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
     hc = min(HEAD_GROUP, H)
     smalls = 2 * ((6 * C + 4 * C + C) * esize + (8 * C + 4 * C) * 4
                   + 8 * C * 128 * esize)
-    scratch = (12 * batch * C + batch * F + 5 * batch * C) * 4
+    # 12 (B, C) + (B, F) + aux (5, B, C) + mono transposed staging
+    # (4 C-sized + fxkT C-sized + hkT F-sized slabs).
+    scratch = (12 * batch * C + batch * F + 5 * batch * C
+               + (5 * C + F) * batch) * 4
     state = 4 * batch * hc * N * N * 4 + 8 * batch * C * 4
     for na in range(1, 33):
         if C % na or (C // na) % 128:
@@ -136,12 +139,58 @@ def _acc_add(ref, val, first: bool):
         ref[:] = ref[:] + val
 
 
+def _dots_variant() -> str:
+    """AI00_PHASED_DOTS selects the projection-tile body form:
+
+        mono (default)  ONE body per weight array with a TRACED tile
+                        index; the x tile comes from a transposed
+                        (tiles, Kt, B) staging scratch (leading-dim
+                        indexing is the only traced indexing Mosaic
+                        lowers).  6 predicated bodies total.
+        unroll          one body per (array, tile) — 12na+8na bodies.
+
+    Mosaic charges every pl.when body's VPU code against every grid
+    step (the WKV group bodies hit the same cliff, see the wkv body
+    comment): at 7B int8 na=4 the 48 unrolled bodies' per-block scale
+    multiplies cost ~48 us/step on top of the 7.3 us DMA floor
+    (98.9 ms/step dots-only vs 13.1 ms empty-body, probe_phased
+    AI00_PHASED_ONLY/ABLATE)."""
+    import os
+
+    return os.environ.get("AI00_PHASED_DOTS", "mono")
+
+
+_DN_K0 = (((0,), (0,)), ((), ()))  # contract axis 0 of both operands
+
+
+def _mono_dot(xt, w_ref, s_ref, cd):
+    """(Kt, B) transposed x tile  @  window -> (B, out) f32.  int8
+    windows keep the per-128-row-block scales on the f32 accumulator
+    (cheap here: ONE body instance exists, so the scale multiplies are
+    charged once per grid step, not once per unrolled tile body)."""
+    if s_ref is None:
+        return jax.lax.dot_general(
+            xt.astype(cd), w_ref[0].astype(cd), _DN_K0,
+            preferred_element_type=jnp.float32)
+    nb, blk, out = w_ref.shape[1:]
+    acc = None
+    for j in range(nb):
+        pj = jax.lax.dot_general(
+            xt[j * blk:(j + 1) * blk].astype(cd),
+            w_ref[0, j].astype(cd), _DN_K0,
+            preferred_element_type=jnp.float32)
+        pj = pj * s_ref[0, j]
+        acc = pj if acc is None else acc + pj
+    return acc
+
+
 def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
-    """x[:, off:off+Kt] @ window, dequantizing int8 sub-blocks against
-    their per-(block, out) scales on the accumulator.  ``off`` is STATIC
-    (the tile loop is unrolled into per-tile pl.when branches — Mosaic
-    has no value-level dynamic_slice), so every x slice is a plain
-    static lane-range load."""
+    """(unroll fallback) x[:, off:off+Kt] @ window, int8 sub-blocks
+    scaled on the accumulator.  ``off`` is STATIC.  Chip-raced int8
+    formulations at 7B na=4 (probe_phased): this form 117.7 ms/step,
+    dequant-in-VMEM (quant_pallas style: window*scale then one dot)
+    254.2, empty-body DMA floor 13.1 — per-body VPU work is charged per
+    GRID STEP across all 48 unrolled bodies, hence the mono default."""
     if s_ref is None:
         xt = x_scr[:, off:off + Kt]
         win = w_ref[0]                      # (Kt, out)
@@ -149,7 +198,6 @@ def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
                        preferred_element_type=jnp.float32)
     nb = w_ref.shape[1]
     blk = w_ref.shape[2]
-    out = w_ref.shape[3]
     acc = None
     for j in range(nb):
         xj = x_scr[:, off + j * blk:off + (j + 1) * blk]
@@ -223,7 +271,7 @@ def _grid_mode() -> str:
 
 
 def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
-            wkvg="tchain"):
+            wkvg="tchain", dots="mono"):
     nf = 4 * na
     ng = H // Hc
     W = 12 * na + ng
@@ -246,8 +294,17 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
                 big[k + "_s"] = refs[idx]
                 idx += 1
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
+        rest = refs[idx + 4:]
         (x_scr, vf_scr, xr_scr, xk_scr, xv_scr, yg_scr, racc, kacc, vacc,
-         oacc, hk_scr, kk_scr, aux_scr, vst_scr, yo_scr) = refs[idx + 4:]
+         oacc, hk_scr, kk_scr, aux_scr, vst_scr, yo_scr) = rest[:15]
+        if dots == "mono":
+            (xrT, xkT, xvT, ygT, fxkT, hkT) = rest[15:21]
+
+        def stage_T(dst, src_scr, count, K):
+            """(B, count*K) lane-layout scratch -> (count, K, B) slabs
+            the mono dot bodies index by traced tile (once per layer)."""
+            for t in range(count):
+                dst[t] = jnp.transpose(src_scr[:, t * K:(t + 1) * K])
 
         if flat:
             i = pl.program_id(0)
@@ -292,6 +349,11 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             xv = xa_in + dx * mix[3:4].astype(cd)
             xv_scr[:] = xv.astype(jnp.float32)
             aux_scr[4] = ln1
+            if dots == "mono":
+                Kt_ = (H * N) // na
+                stage_T(xrT, xr_scr, na, Kt_)
+                stage_T(xkT, xk_scr, na, Kt_)
+                stage_T(xvT, xv_scr, na, Kt_)
 
         @pl.when((w == 0) & (keep("entry") | keep("entry2")))
         def _():
@@ -328,18 +390,35 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             aux_scr[2] = g
             aux_scr[3] = vmix
 
-        # ---- att projection tiles (statically unrolled per tile:
-        # the weight WINDOW tracks w via its index map; only the x slice
-        # needs the tile offset, which must be static for Mosaic) ----
-        for name, xsrc, accr, lo in (("Wr", xr_scr, racc, 0),
-                                     ("Wk", xk_scr, kacc, na),
-                                     ("Wv", xv_scr, vacc, 2 * na)):
-            for t in range(na):
+        # ---- att projection tiles.  mono (default): ONE predicated
+        # body per weight array, tile index TRACED, x tile read from the
+        # (na, Kt, B) transposed staging slab — Mosaic charges every
+        # pl.when body's vector code per grid step, so per-(array, tile)
+        # unrolled bodies cost ~48 us/step in scale multiplies alone at
+        # 7B int8 na=4 (see _dots_variant).  The weight WINDOW tracks w
+        # via its clamped index map either way. ----
+        def dot_phase(lo, count, xT, xsrc, accr, name):
+            if dots == "mono":
+                @pl.when((w >= lo) & (w < lo + count) & keep("dots"))
+                def _():
+                    t = w - lo
+                    part = _mono_dot(xT[t], big[name], sref(name), cd)
+                    accr[:] = jnp.where(t == 0, part, accr[:] + part)
+                return
+            K = xsrc.shape[1] // count
+            for t in range(count):
                 @pl.when((w == lo + t) & keep("dots"))
-                def _(name=name, xsrc=xsrc, accr=accr, t=t):
-                    part = _tiled_dot(xsrc, t * Kt, Kt, big[name],
+                def _(t=t):
+                    part = _tiled_dot(xsrc, t * K, K, big[name],
                                       sref(name), cd)
                     _acc_add(accr, part, t == 0)
+
+        dot_phase(0, na, xrT if dots == "mono" else None, xr_scr,
+                  racc, "Wr")
+        dot_phase(na, na, xkT if dots == "mono" else None, xk_scr,
+                  kacc, "Wk")
+        dot_phase(2 * na, na, xvT if dots == "mono" else None, xv_scr,
+                  vacc, "Wv")
 
         # ---- WKV prologue (once, before the first head-group step) ----
         @pl.when((w == 3 * na) & (keep("wkv") | keep("wkvpro")))
@@ -492,13 +571,11 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             g_gate = aux_scr[2]
             yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
             yg_scr[:] = yf * g_gate
+            if dots == "mono":
+                stage_T(ygT, yg_scr, na, Kt)
 
-        for t in range(na):
-            @pl.when((w == 3 * na + ng + t) & keep("dots"))
-            def _(t=t):
-                part = _tiled_dot(yg_scr, t * Kt, Kt, big["Wo"],
-                                  sref("Wo"), cd)
-                _acc_add(oacc, part, t == 0)
+        dot_phase(3 * na + ng, na, ygT if dots == "mono" else None,
+                  yg_scr, oacc, "Wo")
 
         # ---- ffn entry: residual add + ln2 ----
         @pl.when((w == 4 * na + ng) & keep("epi"))
@@ -513,14 +590,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             xr_scr[:] = fxk.astype(jnp.float32)       # reuse as fxk
             nffn_x_ref[0] = jnp.where(active, ln2, fprev
                                       ).astype(nffn_x_ref.dtype)
+            if dots == "mono":
+                stage_T(fxkT, xr_scr, nf, Ktf)
 
         # ---- ffn key tiles (accumulate the (B, F) hidden) ----
-        for t in range(nf):
-            @pl.when((w == 4 * na + ng + t) & keep("dots"))
-            def _(t=t):
-                part = _tiled_dot(xr_scr, t * Ktf, Ktf, big["fkey"],
-                                  sref("fkey"), cd)
-                _acc_add(hk_scr, part, t == 0)
+        dot_phase(4 * na + ng, nf, fxkT if dots == "mono" else None,
+                  xr_scr, hk_scr, "fkey")
 
         # ---- relu^2 ----
         @pl.when((w == 8 * na + ng) & keep("epi"))
@@ -528,14 +603,12 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             hk = hk_scr[:]
             hk_scr[:] = jnp.square(jnp.maximum(hk, 0.0)
                                    ).astype(cd).astype(jnp.float32)
+            if dots == "mono":
+                stage_T(hkT, hk_scr, nf, Ktv)
 
         # ---- ffn value tiles ----
-        for t in range(nf):
-            @pl.when((w == 8 * na + ng + t) & keep("dots"))
-            def _(t=t):
-                part = _tiled_dot(hk_scr, t * Ktv, Ktv, big["fval"],
-                                  sref("fval"), cd)
-                _acc_add(racc, part, t == 0)          # reuse racc
+        dot_phase(8 * na + ng, nf, hkT if dots == "mono" else None,
+                  hk_scr, racc, "fval")              # reuse racc
 
         @pl.when(w == 12 * na + ng - 1)
         def _():
@@ -560,17 +633,20 @@ def _big_entries(fused, name):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("na", "interpret", "wkvg"))
+                   static_argnames=("na", "interpret", "wkvg", "dots"))
 def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
-               wkvg=None):
+               wkvg=None, dots=None):
     """Phased single-token decode: drop-in for models/v7.forward at T=1
     on models too large for the fused whole-network kernel.  ``na``
     (tiles per CxC matrix) defaults to the smallest aligned count whose
     windows fit the VMEM budget (pick_na).  ``wkvg`` picks the WKV
     head-group body form (default: AI00_PHASED_WKVG, see
-    :func:`_wkvg_variant`)."""
+    :func:`_wkvg_variant`); ``dots`` the projection-tile body form
+    (default: AI00_PHASED_DOTS, see :func:`_dots_variant`)."""
     if wkvg is None:
         wkvg = _wkvg_variant()
+    if dots is None:
+        dots = _dots_variant()
     fused = params[FUSED_KEY]
     L = fused["ln1"].shape[0]
     x0 = params["emb"][tokens[:, 0]]
@@ -708,6 +784,13 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                pltpu.VMEM((5, B, C), jnp.float32),       # aux (wdec,a,g,rk,ln1)
                pltpu.VMEM((ng, 7 * B, Hc * N), jnp.float32),  # vst (staged)
                pltpu.VMEM((ng, 2 * B, Hc * N), jnp.float32)]  # yo (per-group)
+    if dots == "mono":
+        # Transposed x staging slabs the mono dot bodies index by
+        # traced tile: xrT/xkT/xvT/ygT (na, Kt, B), fxkT (nf, Ktf, B),
+        # hkT (nf, Ktv, B).
+        scratch += [pltpu.VMEM((na, Kt, B), jnp.float32)] * 4 + [
+            pltpu.VMEM((nf, Ktf, B), jnp.float32),
+            pltpu.VMEM((nf, Ktv, B), jnp.float32)]
 
     if "dma" in abl:
         # Bisection mode: EMPTY body (same specs => same DMA schedule,
@@ -722,7 +805,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                 pass  # state outputs left unwritten on purpose
     else:
         kernel = _kernel(H, N, na, F, cd, qmode, Hc, flat=flat,
-                         only=_only(), wkvg=wkvg)
+                         only=_only(), wkvg=wkvg, dots=dots)
 
     # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
     # in-place — the kernel reads each head's block before writing it.
@@ -738,7 +821,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
         scratch_shapes=scratch,
         input_output_aliases=io_alias,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=117 * 1024 * 1024),
         interpret=interpret,
     )(*in_arrays)
     if with_state:

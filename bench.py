@@ -15,6 +15,9 @@ object the driver records:
                   JSON grammar; chunked BNF decode engages)
     mixed_742m    concurrent /embeddings + completions, one runtime
                   (north-star config 5, serving half)
+    ivf_10m       IVF QPS + recall@10 at 10M int8-coded vectors, built
+                  and ground-truthed entirely on device (north-star
+                  config 5, retrieval half)
 
 ``BENCH_SUITE=decode,e2e,...`` selects parts; parts failing or missing
 their model budget emit an ``error`` entry instead of dying (partial
@@ -215,6 +218,7 @@ async def bench_e2e(model, engine, conc=16, n_tokens=256, chunk=16,
     """Aggregate tok/s for ``conc`` concurrent streaming completions
     through the full HTTP stack (the reference's batch-merging infer pump
     is the capability bar: crates/ai00-core/src/run.rs:1120-1156)."""
+    import aiohttp
     from aiohttp.test_utils import TestClient, TestServer
     import asyncio
 
@@ -225,7 +229,11 @@ async def bench_e2e(model, engine, conc=16, n_tokens=256, chunk=16,
 
     loop = asyncio.get_event_loop()
     runtime.start()
-    client = TestClient(TestServer(server.app), loop=loop)
+    # No client timeout: a 7B NF4 warm pass (compile + BNF grammar
+    # compile) legitimately exceeds aiohttp's 5-min default; the driver
+    # bounds the whole bench run instead.
+    client = TestClient(TestServer(server.app), loop=loop,
+                        timeout=aiohttp.ClientTimeout(total=None))
     await client.start_server()
 
     rng = np.random.default_rng(0)
@@ -383,7 +391,7 @@ def run_suite():
     _jax_cache()
     from ai00_server_tpu.engine import Engine
 
-    default_parts = "decode,e2e,bnf,mixed,7b_int8,7b_nf4"
+    default_parts = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,ivf"
     parts = [p for p in os.environ.get(
         "BENCH_SUITE", default_parts).split(",") if p]
     suite: dict = {"device": str(jax.devices()[0])}
@@ -430,7 +438,9 @@ def run_suite():
 
     if engine is not None and "e2e" in parts:
         try:
-            d = asyncio.run(bench_e2e(model, engine, conc=16, n_tokens=256))
+            d = asyncio.run(bench_e2e(
+                model, engine, conc=16, n_tokens=256,
+                chunk=int(os.environ.get("BENCH_E2E_CHUNK", "16"))))
             record("e2e_16x256", d)
         except Exception as e:
             fail("e2e_16x256", e)
@@ -489,6 +499,15 @@ def run_suite():
             fail(part, e)
         finally:
             model = engine = None
+            _free()
+
+    # ---- IVF @10M (north-star config 5, retrieval half) ---------------
+    if "ivf" in parts:
+        try:
+            record("ivf_10m", bench_ivf(emit=False))
+        except Exception as e:
+            fail("ivf_10m", e)
+        finally:
             _free()
 
     suite["suite_wall_s"] = round(time.time() - t_suite, 1)
@@ -557,79 +576,110 @@ def bench_retrieval():
                       "device": str(jax.devices()[0])}}, err=True)
 
 
-def bench_ivf():
+def bench_ivf(emit=True):
     """IVF retrieval at the 10M-vector north star (BASELINE.json: full
-    RAG serve, IVF over 10M vectors): int8-coded clusters (~10.5 GB on
-    device), recall@10 measured against chunked-exact ground truth."""
+    RAG serve, IVF over 10M vectors): int8-coded clusters (~12 GB on
+    device), recall@10 against streamed exact ground truth.
+
+    Everything is device-side — the bench host is single-core (its numpy
+    RNG would take ~2 h to draw the 10G samples): vectors are generated
+    in 64Ki-row chunks on device, k-means trains blocked on a 256Ki
+    sample, and one pass feeds each chunk to both the streaming int8
+    packer and the running exact-top-k ground truth.  Nothing N-sized
+    ever reaches the host."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ai00_server_tpu.ops import retrieval as R
 
     _jax_cache()
+    chunk = 1 << 16
     N = int(os.environ.get("BENCH_RET_N", str(10_000_000)))
+    n_chunks = max(1, (N + chunk // 2) // chunk)
+    N = n_chunks * chunk
     D = int(os.environ.get("BENCH_RET_DIM", "1024"))
     Q = int(os.environ.get("BENCH_RET_BATCH", "64"))
     nlist = int(os.environ.get("BENCH_RET_NLIST", "4096"))
     rounds = int(os.environ.get("BENCH_RET_ROUNDS", "20"))
     nq = 256
 
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    x = np.empty((N, D), np.float32)
-    step = 1 << 20
-    for i in range(0, N, step):
-        n = min(step, N - i)
-        v = rng.standard_normal((n, D)).astype(np.float32)
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
-        x[i:i + n] = v
-    qi = rng.choice(N, nq, replace=False)
-    q = x[qi] + 0.01 * rng.standard_normal((nq, D)).astype(np.float32)
-    gen_s = time.time() - t0
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen(i):
+        k = jax.random.fold_in(key, i)
+        x = jax.random.normal(k, (chunk, D), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x.astype(jnp.bfloat16)
 
     t0 = time.time()
-    _, gt = R.exact_search_chunked(x, q, k=10)
-    gt_s = time.time() - t0
+    # Queries: perturbed copies of the first nq vectors of chunk 0.
+    q = (gen(0)[:nq].astype(jnp.float32)
+         + 0.01 * jax.random.normal(jax.random.fold_in(key, 1 << 30),
+                                    (nq, D), jnp.float32))
+    train_chunks = min(4, n_chunks)
+    train = jnp.concatenate([gen(i) for i in range(train_chunks)], 0)
+    cent = R.kmeans_blocked(jax.random.fold_in(key, 1 << 29), train,
+                            nlist=nlist, iters=8, blk=chunk)
+    jax.block_until_ready(cent)
+    del train
+    train_s = time.time() - t0
+
+    mean = N / nlist
+    cap = int(os.environ.get(
+        "BENCH_RET_CAP", str(int(mean + 8.0 * np.sqrt(mean) + 16))))
 
     t0 = time.time()
-    ivf = R.build_ivf(x, nlist=nlist, iters=8, quant="int8")
-    jax.block_until_ready(ivf.packed)
+    builder = R.StreamedIVFBuilder(cent, cap=cap, dim=D)
+    q_bf = q.astype(jnp.bfloat16)
+    best_s = jnp.full((nq, 10), -np.inf, jnp.float32)
+    best_i = jnp.full((nq, 10), -1, jnp.int32)
+    for i in range(n_chunks):
+        x = gen(i)
+        builder.add(x, i * chunk)
+        best_s, best_i = R.topk_merge_chunk(best_s, best_i, x,
+                                            jnp.int32(i * chunk), q_bf,
+                                            k=10)
+    ivf = builder.finish()
+    gt = np.asarray(best_i)
+    dropped = int(builder.dropped)
     build_s = time.time() - t0
 
     out = {}
     for nprobe in (8, 16, 32):
-        _, ids = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
-                              jnp.asarray(q), k=10, nprobe=nprobe,
-                              pscale=ivf.pscale)
-        ids = np.asarray(ids)
+        search = functools.partial(
+            R.ivf_search, ivf.centroids, ivf.packed, ivf.packed_ids,
+            k=10, nprobe=nprobe, pscale=ivf.pscale)
+        ids = np.concatenate([
+            np.asarray(search(q[j:j + Q])[1]) for j in range(0, nq, Q)])
         recall = np.mean([
             len(set(ids[r]) & set(gt[r])) / 10 for r in range(nq)])
-        qd = jnp.asarray(q[:Q])
-        s, i = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
-                            qd, k=10, nprobe=nprobe, pscale=ivf.pscale)
-        jax.block_until_ready(i)
+        qd = q[:Q]
+        jax.block_until_ready(search(qd)[1])
         t0 = time.time()
         for _ in range(rounds):
-            s, i = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
-                                qd, k=10, nprobe=nprobe, pscale=ivf.pscale)
+            s, i = search(qd)
         jax.block_until_ready(i)
         qps = Q * rounds / (time.time() - t0)
-        out[nprobe] = (round(recall, 4), round(qps, 1))
+        out[nprobe] = (round(float(recall), 4), round(qps, 1))
 
     best = max(out.items(), key=lambda kv: (kv[1][1] >= 10000, kv[1][0]))
-    _emit({
+    res = {
         "metric": f"ivf_int8_qps_{N // 1000000}M_d{D}_nprobe{best[0]}",
         "value": best[1][1],
         "unit": "qps",
         "vs_baseline": round(best[1][1] / 10000.0, 2),
         "recall10": out[best[0]][0],
         "recall_qps_by_nprobe": {str(k): v for k, v in out.items()},
-    })
-    _emit({"detail": {
-        "nlist": nlist, "cap": ivf.cap, "gen_s": round(gen_s, 1),
-        "ground_truth_s": round(gt_s, 1), "build_s": round(build_s, 1),
-        "device": str(jax.devices()[0]),
-    }}, err=True)
+        "n_vectors": N, "nlist": nlist, "cap": cap, "dropped": dropped,
+        "train_s": round(train_s, 1), "build_s": round(build_s, 1),
+    }
+    if emit:
+        _emit(res)
+        _emit({"detail": {"device": str(jax.devices()[0])}}, err=True)
+    return res
 
 
 def bench_single_decode():

@@ -89,9 +89,12 @@ def test_phased_matches_generic_int8(version):
     (h_ref, s_ref), (h_p, s_p), _ = _run_both(version, info, params)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
                                rtol=3e-4, atol=3e-4)
+    # int8 rtol is a notch looser than plain: _tiled_dot folds the
+    # per-block scale into the dequantized weight (one rounding per
+    # weight element) where the generic path scales the f32 accumulator.
     for k in s_ref:
         np.testing.assert_allclose(np.asarray(s_p[k]), np.asarray(s_ref[k]),
-                                   rtol=3e-3, atol=_WKV_ATOL[version],
+                                   rtol=5e-3, atol=_WKV_ATOL[version],
                                    err_msg=k)
 
 

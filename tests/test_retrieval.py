@@ -172,6 +172,47 @@ def test_int8_ivf_matches_bf16_recall():
         assert recall1 >= 0.9, recall1
 
 
+def test_streamed_builder_matches_host_build():
+    """StreamedIVFBuilder (the device-side 10M-scale path) packs the
+    same clusters/codes as the host build_ivf given the same centroids,
+    and the streamed ground truth matches chunked-exact."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1024, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    q = x[:16] + 0.01 * rng.standard_normal((16, 64)).astype(np.float32)
+
+    cent = R.kmeans_blocked(jax.random.PRNGKey(0),
+                            jnp.asarray(x), nlist=8, iters=6, blk=256)
+    builder = R.StreamedIVFBuilder(cent, cap=512, dim=64)
+    best_s = jnp.full((16, 10), -np.inf, jnp.float32)
+    best_i = jnp.full((16, 10), -1, jnp.int32)
+    for i in range(0, 1024, 256):
+        xc = jnp.asarray(x[i:i + 256])
+        builder.add(xc, i)
+        best_s, best_i = R.topk_merge_chunk(
+            best_s, best_i, xc, jnp.int32(i), jnp.asarray(q), k=10)
+    ivf = builder.finish()
+    assert int(builder.dropped) == 0
+
+    # Every vector is packed exactly once, ids form a permutation.
+    ids = np.asarray(ivf.packed_ids)
+    got = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(got, np.arange(1024))
+
+    # Streamed GT == chunked-exact GT (sets, bf16 ties may reorder).
+    _, gt = R.exact_search_chunked(x, q, k=10, chunk=300)
+    bi = np.asarray(best_i)
+    for r in range(16):
+        assert len(set(bi[r]) & set(gt[r])) >= 9
+
+    # Search through the streamed index finds the perturbed sources.
+    _, hits = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                           jnp.asarray(q), k=5, nprobe=4,
+                           pscale=ivf.pscale)
+    recall1 = np.mean(np.asarray(hits)[:, 0] == np.arange(16))
+    assert recall1 >= 0.9, recall1
+
+
 def test_exact_search_chunked_matches_whole():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((5000, 64)).astype(np.float32)
