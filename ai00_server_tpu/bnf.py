@@ -15,14 +15,22 @@ from __future__ import annotations
 
 import numpy as np
 
+from .grammar import make_dfa_engine
 from .native import make_grammar_engine
 
 
 class BnfFormatter:
     def __init__(self, schema: str, tokenizer, vocab: int,
                  start_nonterminal: str = "start"):
-        # Native (C++) Earley engine when buildable; Python fallback.
-        self.engine = make_grammar_engine(schema, start=start_nonterminal)
+        # Regular grammars compile to a byte DFA whose small, closed
+        # state set makes every token mask a one-time cost (see
+        # grammar.py DFA section — the Earley engines recompute ~240 ms
+        # masks per token inside self-recursive regions).  Non-regular
+        # grammars fall back to the native (C++) Earley engine, then to
+        # its Python twin.
+        self.engine = (make_dfa_engine(schema, start=start_nonterminal)
+                       or make_grammar_engine(schema,
+                                              start=start_nonterminal))
         self.tokenizer = tokenizer
         self.vocab = vocab
         self._finished = False
@@ -31,8 +39,10 @@ class BnfFormatter:
         if self._finished:
             return np.ones(self.vocab, np.bool_)
         mask = np.zeros(self.vocab, np.bool_)
-        for tid in self.engine.allowed_tokens(self.tokenizer):
-            mask[tid] = True
+        ids = np.asarray(self.engine.allowed_tokens(self.tokenizer),
+                         np.int64)
+        if ids.size:
+            mask[ids[ids < self.vocab]] = True
         # Always allow end-of-text once the grammar can complete.
         if self.engine.can_finish():
             mask[0] = True

@@ -144,3 +144,96 @@ def test_bnf_formatter_step_by_step(tiny_tokenizer):
     assert not f.accept(c)
     assert f.allowed_mask()[0]  # EOS allowed
     assert f.accept(0)  # EOS halts
+
+
+# ------------------- DFA fast path (regular grammars) -------------------
+
+JSON_STICKY = (
+    "start ::= '{\"name\": \"' text '\", \"value\": ' num '}';\n"
+    "text ::= tchar | tchar text;\n"
+    "tchar ::= 'a'|'b'|'c'|'d'|'e'|' '|'.'|','|'-';\n"
+    "num ::= digit | digit num;\n"
+    "digit ::= '0'|'1'|'2'|'3'|'4'|'5'|'6'|'7'|'8'|'9';\n")
+
+
+def test_dfa_detects_regularity():
+    from ai00_server_tpu.grammar import make_dfa_engine
+
+    assert make_dfa_engine(JSON_STICKY) is not None
+    assert make_dfa_engine("start ::= 'a' start 'b' | 'c';") is None
+    assert make_dfa_engine("start ::= '(' start ')' | 'x';") is None
+    # Tail recursion (direct and through another rule) is regular.
+    assert make_dfa_engine(
+        "start ::= 'a' | 'a' start;") is not None
+    assert make_dfa_engine(
+        "start ::= 'a' more; more ::= 'b' | 'b' start;") is not None
+
+
+@pytest.mark.parametrize("schema,drive", [
+    ("start ::= 'yes' | 'no';", "yes"),
+    ("start ::= 'ab' 'c'+;", "abccc"),
+    (JSON_STICKY, '{"name": "abc de", "value": 42}'),
+    ("start ::= digit+; digit ::= #'[0-9]';", "0042"),
+])
+def test_dfa_masks_match_earley(tiny_tokenizer, schema, drive):
+    """The DFA engine's allowed-token sets and finish flags match the
+    Earley engine byte-for-byte along a real derivation."""
+    from ai00_server_tpu.grammar import GrammarEngine, make_dfa_engine
+
+    tok = tiny_tokenizer
+    dfa = make_dfa_engine(schema)
+    assert dfa is not None
+    ear = GrammarEngine(schema)
+    data = drive.encode()
+    for i in range(len(data) + 1):
+        assert sorted(map(int, dfa.allowed_tokens(tok))) == \
+            sorted(map(int, ear.allowed_tokens(tok))), f"at byte {i}"
+        assert dfa.can_finish() == ear.can_finish(), f"at byte {i}"
+        assert dfa.must_finish() == ear.must_finish(), f"at byte {i}"
+        if i < len(data):
+            assert dfa.advance(data[i:i + 1]) == ear.advance(
+                data[i:i + 1])
+
+
+def test_dfa_mask_cache_shared_and_rejection(tiny_tokenizer):
+    from ai00_server_tpu.grammar import make_dfa_engine
+
+    a = make_dfa_engine(JSON_STICKY)
+    b = make_dfa_engine(JSON_STICKY)
+    assert a.trans is b.trans          # shared tables
+    a.allowed_tokens(tiny_tokenizer)
+    assert a._mask_cache is b._mask_cache and len(b._mask_cache) >= 1
+    assert a.advance(b"{") and not a.advance(b"zzz")  # reject -> dead
+    assert a.dead
+
+
+def test_bnf_formatter_uses_dfa_for_regular(tiny_tokenizer):
+    from ai00_server_tpu.grammar import DFAGrammarEngine
+
+    # Literals drawn from the tiny vocab (it has no 'm'/'l'/'u' bytes).
+    schema = ('start ::= \'{"a": "\' text \'", "b": \' num \'}\';\n'
+              "text ::= tchar | tchar text;\n"
+              "tchar ::= 'a'|'b'|'c'|'d'|'e'|' '|'.'|','|'-';\n"
+              "num ::= digit | digit num;\n"
+              "digit ::= '0'|'1'|'2'|'3'|'4'|'5'|'6'|'7'|'8'|'9';\n")
+    f = BnfFormatter(schema, tiny_tokenizer, tiny_tokenizer.vocab_len)
+    assert isinstance(f.engine, DFAGrammarEngine)
+    # Generate greedily under the mask until the grammar halts; the
+    # produced string must be a complete derivation per the Earley
+    # engine (any mask-following walk is grammar-exact).
+    out, halted = b"", False
+    for _ in range(64):
+        mask = f.allowed_mask()
+        ids = [int(t) for t in np.nonzero(mask)[0]
+               if tiny_tokenizer.token_to_bytes(int(t))]
+        assert ids, "mask empty before grammar completion"
+        by_bytes = {tiny_tokenizer.token_to_bytes(t): t for t in ids}
+        # Prefer closers so the unbounded text/num regions terminate.
+        pick = by_bytes.get(b"}") or by_bytes.get(b'"') or ids[-1]
+        out += tiny_tokenizer.token_to_bytes(pick)
+        if f.accept(pick):
+            halted = True
+            break
+    assert halted, out
+    ear = GrammarEngine(schema)
+    assert ear.advance(out) and ear.can_finish(), out

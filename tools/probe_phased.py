@@ -31,9 +31,33 @@ def main():
         pass
 
     from bench import build_model
-    from ai00_server_tpu.models import v7
-    from ai00_server_tpu.ops import v7_decode_pallas as fd
-    from ai00_server_tpu.ops import v7_phased_pallas as pd
+
+    version = os.environ.get("PROBE_VERSION", "V7").upper()
+    if version == "V7":
+        from ai00_server_tpu.models import v7 as vmod
+        from ai00_server_tpu.ops import v7_decode_pallas as fd
+        from ai00_server_tpu.ops import v7_phased_pallas as pd
+
+        def can_phase(params, batch):
+            return pd.can_phase(params, batch)
+
+        def phased_t1(p, state, tok, lens, na):
+            return pd.forward_t1(p, state, tok, lens, na=na)
+    else:
+        from ai00_server_tpu.ops import v56_phased_pallas as pd
+
+        if version == "V5":
+            from ai00_server_tpu.models import v5 as vmod
+            from ai00_server_tpu.ops import v5_decode_pallas as fd
+        else:
+            from ai00_server_tpu.models import v6 as vmod
+            from ai00_server_tpu.ops import v6_decode_pallas as fd
+
+        def can_phase(params, batch):
+            return pd.can_phase(params, batch, version)
+
+        def phased_t1(p, state, tok, lens, na):
+            return pd.forward_t1(p, state, tok, lens, version, na=na)
 
     B = int(os.environ.get("PROBE_BATCH", "16"))
     L = int(os.environ.get("PROBE_LAYERS", "4"))
@@ -43,7 +67,8 @@ def main():
     steps = int(os.environ.get("PROBE_STEPS", "32"))
 
     t0 = time.time()
-    model, info = build_model(L, C, 64, V, jnp.bfloat16, quant=quant)
+    model, info = build_model(L, C, 64, V, jnp.bfloat16, quant=quant,
+                              version=version)
     print(f"build {time.time()-t0:.1f}s", file=sys.stderr)
     params = model.params
     if model.surrogate_modes is None:
@@ -51,19 +76,22 @@ def main():
 
         if qm.use_int8_surrogate():
             model.surrogate_modes = qm.surrogate_group(params)
-    assert pd.can_phase(params, batch=B), "can_phase rejected this shape"
-    mode, Cg, F, H, N = pd._geometry(params)
-    na = int(os.environ.get("PROBE_NA", "0")) or \
-        pd.pick_na(Cg, F, H, N, B, 1 if mode == "int8" else 2)
+    assert can_phase(params, B), "can_phase rejected this shape"
+    mode, Cg, F, H, N = (pd._geometry(params) if version == "V7"
+                         else pd._geometry(params, version))
+    esz = 1 if mode == "int8" else 2
+    na = int(os.environ.get("PROBE_NA", "0")) or (
+        pd.pick_na(Cg, F, H, N, B, esz) if version == "V7"
+        else pd.pick_na(Cg, F, H, N, B, esz, version))
     print(f"mode={mode} C={Cg} F={F} H={H} na={na}", file=sys.stderr)
     params = dict(params)
     params[fd.FUSED_KEY] = fd.make_fused_layout(model.params)
 
     rng = np.random.default_rng(0)
-    state = v7.init_state(info, B, jnp.float32)
+    state = vmod.init_state(info, B, jnp.float32)
     toks = jnp.asarray(rng.integers(0, V, (B, 5)), jnp.int32)
     lens = jnp.full((B,), 5, jnp.int32)
-    _, state = jax.jit(v7.forward)(model.params, state, toks, lens)
+    _, state = jax.jit(vmod.forward)(model.params, state, toks, lens)
     jax.block_until_ready(state["wkv"])
 
     t1 = jnp.asarray(rng.integers(0, V, (B, 1)), jnp.int32)
@@ -72,10 +100,10 @@ def main():
     # Correctness vs the generic path (single step).
     if not os.environ.get("PROBE_SKIP_REF"):
         os.environ["AI00_FUSED_DECODE"] = "off"  # force generic reference
-        h_ref, s_ref = jax.jit(v7.forward)(model.params, state, t1, l1)
+        h_ref, s_ref = jax.jit(vmod.forward)(model.params, state, t1, l1)
         os.environ.pop("AI00_FUSED_DECODE", None)
         t0 = time.time()
-        h_p, s_p = pd.forward_t1(params, state, t1, l1, na=na)
+        h_p, s_p = phased_t1(params, state, t1, l1, na)
         jax.block_until_ready(h_p)
         print(f"phased compile+run {time.time()-t0:.1f}s", file=sys.stderr)
         dh = float(jnp.max(jnp.abs(h_p.astype(jnp.float32)
@@ -97,7 +125,7 @@ def main():
     def chain_phased(p, state, tok, n=steps):
         def body(i, carry):
             state, tok = carry
-            h, state = pd.forward_t1(p, state, tok, l1, na=na)
+            h, state = phased_t1(p, state, tok, l1, na)
             nt = jnp.argmax(
                 jnp.dot(h[:, 0], p["head"].astype(h.dtype)),
                 axis=-1).astype(jnp.int32)[:, None]
@@ -108,7 +136,7 @@ def main():
     def chain_generic(p, state, tok, n=steps):
         def body(i, carry):
             state, tok = carry
-            h, state = v7.forward(p, state, tok, l1)
+            h, state = vmod.forward(p, state, tok, l1)
             nt = jnp.argmax(
                 jnp.dot(h[:, 0], p["head"].astype(h.dtype)),
                 axis=-1).astype(jnp.int32)[:, None]
