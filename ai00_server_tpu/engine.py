@@ -36,6 +36,26 @@ from .models.common import take_last_valid
 from .ops import sampling
 
 
+def head_logits(params, x):
+    """``x @ head -> (…, V) f32 logits``.
+
+    Quantized head (``head_q``, installed by Engine.__init__ for
+    quantized models): per-128-row-block einsum with the int8->bf16
+    convert fused into the dot's operand load and the scales applied to
+    the f32 accumulator — f32 logit precision is preserved (the scales
+    multiply the accumulator, never the codes)."""
+    hq = params.get("head_q")
+    if hq is None:
+        return jnp.dot(x, params["head"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    nb, blk, out = hq.q.shape
+    xb = x.reshape(x.shape[:-1] + (nb, blk))
+    part = jnp.einsum("...nk,nko->...no", xb.astype(jnp.bfloat16),
+                      hq.q.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return (part * hq.scale[:, 0]).sum(-2)
+
+
 @dataclass
 class StepResult:
     tokens: np.ndarray        # (B,) int32, valid where sample_mask
@@ -81,6 +101,32 @@ class Engine:
             # bytes.  AI00_NF4_DECODE=packed keeps true 4-bit streaming
             # (halves weight memory).  Prefab export repacks losslessly.
             model.surrogate_modes = quant_mod.surrogate_group(model.params)
+
+        # Quantized models also store the LM head int8 (per-128-row-block
+        # scales): at 7B the bf16 head is the largest single non-layer
+        # HBM stream of every decode step (C*V*2 = 0.5 GB = ~0.6 ms), and
+        # int8's per-block absmax scaling error is on the order of bf16's
+        # own mantissa rounding.  Logits keep f32 accumulators + scales
+        # (head_logits below).  AI00_QUANT_HEAD=off restores the bf16
+        # head; =on forces it for unquantized models too.  (The reference
+        # quantizes only layer matrices — reload.rs:23-27 — but its fp16
+        # head costs the same relative bandwidth; this is the TPU build's
+        # decode-bandwidth design, documented in docs/decode-paths.md.)
+        head_env = os.environ.get("AI00_QUANT_HEAD", "auto")
+        if mesh is None and "head_q" not in model.params \
+                and "head" in model.params and head_env != "off" \
+                and model.params["head"].shape[0] % quant_mod.INT8_BLOCK == 0:
+            has_quant = model.surrogate_modes is not None or any(
+                isinstance(leaf, quant_mod.QuantizedLinear)
+                for leaf in jax.tree.leaves(
+                    model.params,
+                    is_leaf=lambda x: isinstance(
+                        x, quant_mod.QuantizedLinear)))
+            if head_env == "on" or (
+                    has_quant
+                    and jax.default_backend() in ("tpu", "axon")):
+                model.params["head_q"] = quant_mod.quantize_int8_jax(
+                    model.params.pop("head"))
 
         B, V = self.max_batch, self.vocab
         self.state_pool = self.module.init_state(self.info, B, state_dtype)
@@ -255,6 +301,41 @@ class Engine:
         with self._lock:
             return self._read_row(self.state_pool, jnp.int32(b))
 
+    @functools.cached_property
+    def _read_row_embed(self):
+        @jax.jit
+        def read_embed(pool, b):
+            # Pooled full-state readout (the /embeddings vector): mean
+            # over layers of att_x and ffn_x, plus the uniform-query wkv
+            # readout sum_k state[.., v, k] meaned over layers — each
+            # component unit-normalized before the concat, the concat
+            # normalized again.  Must match server/app._embed_texts'
+            # host-side math bit-for-bit in f32.
+            parts = [
+                jax.lax.dynamic_index_in_dim(
+                    pool["att_x"], b, 1, keepdims=False
+                ).astype(jnp.float32).mean(0),
+                jax.lax.dynamic_index_in_dim(
+                    pool["ffn_x"], b, 1, keepdims=False
+                ).astype(jnp.float32).mean(0),
+            ]
+            if "wkv" in pool:
+                wkv = jax.lax.dynamic_index_in_dim(
+                    pool["wkv"], b, 1, keepdims=False).astype(jnp.float32)
+                parts.append(wkv.sum(-1).mean(0).reshape(-1))
+            vec = jnp.concatenate([
+                p / jnp.maximum(jnp.linalg.norm(p), 1e-12) for p in parts])
+            return vec / jnp.maximum(jnp.linalg.norm(vec), 1e-12)
+        return read_embed
+
+    def read_row_embed(self, b: int) -> np.ndarray:
+        """Row b's POOLED embedding vector, computed on device (the
+        /embeddings fast path: ~3C floats cross the host boundary
+        instead of the multi-MB full state)."""
+        with self._lock:
+            vec = self._read_row_embed(self.state_pool, jnp.int32(b))
+        return np.asarray(vec)
+
     # ------------------------------------------------------------------
     # Sampler / bias / mask row management
     # ------------------------------------------------------------------
@@ -358,10 +439,7 @@ class Engine:
                 hidden, new_state = module_forward(
                     params, state, tokens, lengths)
                 last = take_last_valid(hidden, lengths)  # (B, C)
-                logits = jnp.dot(
-                    last, params["head"].astype(last.dtype),
-                    preferred_element_type=jnp.float32,
-                )
+                logits = head_logits(params, last)
                 rand = jax.random.uniform(
                     rng, (tokens.shape[0],), jnp.float32)
                 toks, sp, new_ss = sampling.sample_with_rand(
@@ -458,9 +536,7 @@ class Engine:
                     lengths = jnp.where(act_t, 1, 0).astype(jnp.int32)
                     hidden, state = module_forward(
                         params, state, toks[:, None], lengths)
-                    logits = jnp.dot(
-                        hidden[:, 0], params["head"].astype(hidden.dtype),
-                        preferred_element_type=jnp.float32)
+                    logits = head_logits(params, hidden[:, 0])
                     rand = jax.random.uniform(rng_t, (B,), jnp.float32)
                     t2, sp, ss2 = sampling.sample_with_rand(
                         rand, logits, sparams, ss,
@@ -662,6 +738,28 @@ class Engine:
             self.decode_chunk(np.zeros(B, np.int32), zm, k,
                               snapshot=False)
 
+        # Row-op jits on the rollback/restore path (_read_row/_write_row,
+        # sampler-row rebuild): tiny compiles, but a cold compile during
+        # the first mid-stream EOS rollback serializes live requests for
+        # ~a second.  All functional and DISCARDED — the live pools are
+        # never reassigned, so this is safe concurrent with traffic.
+        with self._lock:
+            row = self._read_row(self.state_pool, jnp.int32(0))
+            # _write_row / _set_sampler_row DONATE their pool input:
+            # AOT-compile only (fills the persistent cache; executing
+            # them here would free the LIVE pool out from under the
+            # runtime).
+            try:
+                self._write_row.lower(
+                    self.state_pool, row, jnp.int32(0)).compile()
+                _set_sampler_row.lower(
+                    self.sampler_state,
+                    jnp.zeros(self.vocab, jnp.float32),
+                    jnp.zeros(self.vocab, jnp.bool_),
+                    jnp.float32(0.0), jnp.int32(0)).compile()
+            except Exception:
+                pass
+
     def sample_only(self, b: int, logits: np.ndarray) -> int:
         """Sample row ``b`` from externally-provided logits (cache fast
         path: a fully-cached prompt supplies its stored prompt-end logits
@@ -700,10 +798,7 @@ class Engine:
             logits, no sampler transforms).
             """
             hidden, new_state = module.forward(params, state, tokens, lengths)
-            logits = jnp.dot(
-                hidden, params["head"].astype(hidden.dtype),
-                preferred_element_type=jnp.float32,
-            )  # (B, T, V)
+            logits = head_logits(params, hidden)  # (B, T, V)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nxt = tokens[:, 1:]  # (B, T-1)
             pos_lp = jnp.take_along_axis(

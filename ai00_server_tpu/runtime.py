@@ -104,6 +104,10 @@ class GenerateRequest:
     kind: GenerateKind = GenerateKind.GENERATE
     choices: list[str] = field(default_factory=list)
     calibrate: bool = False
+    # STATE requests: return the device-pooled embedding vector instead
+    # of the full state (the /embeddings fast path — ~3C floats cross
+    # the host boundary instead of the multi-MB state pytree).
+    pooled: bool = False
 
 
 class FinishReason(str, Enum):
@@ -1282,9 +1286,14 @@ class Runtime:
         return stopped
 
     async def _emit_state(self, slot: _Slot) -> None:
-        state = await asyncio.get_event_loop().run_in_executor(
-            None, self.engine.read_row_state, slot.index)
-        await slot.ctx.handle.queue.put(("embed", state))
+        if slot.ctx.request.pooled:
+            vec = await asyncio.get_event_loop().run_in_executor(
+                None, self.engine.read_row_embed, slot.index)
+            await slot.ctx.handle.queue.put(("embed_vec", vec))
+        else:
+            state = await asyncio.get_event_loop().run_in_executor(
+                None, self.engine.read_row_state, slot.index)
+            await slot.ctx.handle.queue.put(("embed", state))
         await self._finalize(slot, FinishReason.STOP)
 
     def _consumed_tokens(self, ctx: _ReqCtx) -> tuple[int, ...]:

@@ -519,26 +519,33 @@ class Server:
         for text in texts:
             req = GenerateRequest(prompt=str(text), max_tokens=1,
                                   kind=GenerateKind.STATE,
-                                  state_id=state_id)
+                                  state_id=state_id, pooled=True)
             handles.append(await env.runtime.submit(req))
         vecs = []
         for handle in handles:
-            state = None
+            vec = state = None
             async for msg in handle:
-                if msg[0] == "embed":
+                if msg[0] == "embed_vec":
+                    vec = np.asarray(msg[1], np.float32)
+                elif msg[0] == "embed":
                     state = msg[1]
-            if state is None:
+            if vec is None and state is not None:
+                # Host-side fallback (same math as the device readout).
+                parts = []
+                att = np.asarray(state["att_x"], np.float32)  # (L, 1, C)
+                ffn = np.asarray(state["ffn_x"], np.float32)
+                parts.append(att.mean(axis=(0, 1)))
+                parts.append(ffn.mean(axis=(0, 1)))
+                if "wkv" in state:
+                    wkv = np.asarray(state["wkv"], np.float32)  # (L,H,N,N)
+                    parts.append(wkv.sum(axis=-1).mean(axis=0).reshape(-1))
+                vec = np.concatenate([
+                    p / max(float(np.linalg.norm(p)), 1e-12)
+                    for p in parts])
+                vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+            if vec is None:
                 raise RuntimeError("embedding aborted before state read")
-            parts = []
-            att = np.asarray(state["att_x"], np.float32)  # (L, 1, C)
-            ffn = np.asarray(state["ffn_x"], np.float32)
-            parts.append(att.mean(axis=(0, 1)))
-            parts.append(ffn.mean(axis=(0, 1)))
-            wkv = np.asarray(state["wkv"], np.float32)    # (L, H, N, N)
-            parts.append(wkv.sum(axis=-1).mean(axis=0).reshape(-1))
-            vec = np.concatenate([
-                p / max(float(np.linalg.norm(p)), 1e-12) for p in parts])
-            vecs.append(vec / max(float(np.linalg.norm(vec)), 1e-12))
+            vecs.append(vec)
         return np.stack(vecs)
 
     async def embeddings(self, request: web.Request):

@@ -132,3 +132,33 @@ def test_restore_last_chunk_ring(engine):
 
     # The older ring entry (pre-chunk-i) still backs rollback_row.
     eng.rollback_row(0, [int(first[0])])
+
+
+def test_quant_head_logits_close(monkeypatch):
+    """AI00_QUANT_HEAD=on stores the LM head int8 (per-128-row-block
+    scales, f32 accumulators): logits must stay within int8 block-scale
+    error of the plain head and greedy decode must agree on a
+    well-separated distribution."""
+    monkeypatch.setenv("AI00_QUANT_HEAD", "on")
+    info, raw, params = make_tiny_model(ModelVersion.V7, seed=71,
+                                        dtype=np.float32, num_vocab=64,
+                                        num_emb=128)
+    head_ref = np.asarray(params["head"], np.float32)
+    model = LoadedModel(info=info, params=params, init_wkv=None)
+    eng = Engine(model, max_batch=2, token_chunk_size=8,
+                 state_dtype=jnp.float32)
+    assert "head_q" in model.params and "head" not in model.params
+
+    from ai00_server_tpu.engine import head_logits
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, info.num_emb),
+                          jnp.float32)
+    lq = np.asarray(head_logits(model.params, x))
+    lf = np.asarray(x @ head_ref)
+    scale = np.abs(lf).max()
+    assert np.abs(lq - lf).max() / scale < 0.02
+    # And the engine runs end to end with the quantized head.
+    for b in range(2):
+        eng.set_row_sampler(b, {"kind": sampling.KIND_GREEDY})
+    toks, _ = eng.decode_chunk(np.zeros(2, np.int32),
+                               np.ones(2, np.bool_), 4)
+    assert np.asarray(toks).shape == (4, 2)
