@@ -266,6 +266,11 @@ async def bench_e2e(model, engine, conc=16, n_tokens=256, chunk=16,
         body = {
             "prompt": prompts[i], "max_tokens": n_tokens,
             "sampler": {"type": "Nucleus", "top_k": 128, "top_p": 0.5},
+            # Random-weight models sample EOS (token 0) by chance; bias
+            # it out (client-side logit bias, same as the reference's
+            # `bias` field) so every stream runs its full token budget
+            # and the aggregate measures steady-state batching.
+            "bias": {"0": -1e9},
         }
         if bnf_schema:
             body["bnf_schema"] = bnf_schema
@@ -382,7 +387,105 @@ def _free():
     gc.collect()
 
 
+DEFAULT_PARTS = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,7b_v6_int8,ivf"
+
+# Process-isolation groups: each group runs in its OWN child process (one
+# JAX client + TPU worker session).  A kernel fault, OOM, or tunnel-worker
+# crash in one group cannot poison the rest of the artifact — the round-4
+# suite lost 7b_nf4 AND ivf to one worker crash when everything shared a
+# process.  Parts within a group share an expensive model build.
+SUITE_GROUPS = (
+    ("decode", "e2e", "bnf", "mixed"),   # one 742M build
+    ("7b_int8",),
+    ("7b_nf4",),
+    ("7b_v6_int8",),
+    ("ivf",),
+)
+
+
 def run_suite():
+    """Parent: fan the requested parts out to per-group child processes
+    (``BENCH_CHILD=1`` reruns this file), merge their part records, and
+    emit the aggregate the driver records."""
+    import subprocess
+
+    parts = [p for p in os.environ.get(
+        "BENCH_SUITE", DEFAULT_PARTS).split(",") if p]
+    suite: dict = {}
+    t_suite = time.time()
+    group_timeout = float(os.environ.get("BENCH_GROUP_TIMEOUT", "2400"))
+
+    for group in SUITE_GROUPS:
+        want = [p for p in group if p in parts]
+        if not want:
+            continue
+        env = dict(os.environ)
+        env["BENCH_CHILD"] = "1"
+        env["BENCH_SUITE"] = ",".join(want)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+                timeout=group_timeout)
+            rc = proc.returncode
+            for line in proc.stdout.decode().splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                name = rec.pop("part", None)
+                if name:
+                    suite[name] = rec
+                elif "device" in rec:
+                    suite.setdefault("device", rec["device"])
+            err = f"child exited {rc}" if rc else None
+        except subprocess.TimeoutExpired:
+            err = f"child timeout after {group_timeout:.0f}s"
+        for p in want:
+            if p not in suite:
+                suite[_PART_KEYS.get(p, p)] = {"error": err or "no output"}
+
+    suite["suite_wall_s"] = round(time.time() - t_suite, 1)
+    _emit_headline(suite)
+
+
+# Child part names -> suite record keys (parts that record under a
+# descriptive key).
+_PART_KEYS = {
+    "decode": "decode_742m",
+    "e2e": "e2e_16x256",
+    "bnf": "bnf_single_742m",
+    "mixed": "mixed_8gen_16embed_742m",
+    "ivf": "ivf_10m",
+}
+
+
+def _emit_headline(suite: dict):
+    headline = None
+    for key, field in (("e2e_16x256", "tok_s"),
+                       ("decode_742m", "decode_tok_s"),
+                       ("7b_int8", "decode_tok_s")):
+        v = suite.get(key, {})
+        if isinstance(v, dict) and field in v:
+            headline = (key, v[field])
+            break
+    if headline is None:
+        headline = ("suite_failed", 0.0)
+    _emit({
+        "metric": headline[0],
+        "value": headline[1],
+        "unit": "tok/s",
+        "vs_baseline": round(headline[1] / BASELINE_TOK_S, 2),
+        "suite": suite,
+    })
+
+
+def run_parts():
+    """Child: run the parts in ``BENCH_SUITE`` in this process, emitting
+    one ``{"part": ...}`` JSON line per part on stdout."""
     import asyncio
 
     import jax
@@ -391,11 +494,10 @@ def run_suite():
     _jax_cache()
     from ai00_server_tpu.engine import Engine
 
-    default_parts = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,ivf"
     parts = [p for p in os.environ.get(
-        "BENCH_SUITE", default_parts).split(",") if p]
-    suite: dict = {"device": str(jax.devices()[0])}
-    t_suite = time.time()
+        "BENCH_SUITE", DEFAULT_PARTS).split(",") if p]
+    suite: dict = {}
+    _emit({"device": str(jax.devices()[0])})
 
     def record(name, data):
         suite[name] = data
@@ -465,13 +567,15 @@ def run_suite():
     _free()
 
     # ---- 7B-class (L32 C4096): phased kernel, quantized ---------------
-    for part, quant in (("7b_int8", "int8"), ("7b_nf4", "nf4")):
+    for part, quant, ver in (("7b_int8", "int8", "V7"),
+                             ("7b_nf4", "nf4", "V7"),
+                             ("7b_v6_int8", "int8", "V6")):
         if part not in parts:
             continue
         try:
             t0 = time.time()
             model, info = build_model(Lb, Cb, 64, V, jnp.bfloat16,
-                                      quant=quant)
+                                      quant=quant, version=ver)
             engine = Engine(model, max_batch=B, token_chunk_size=128,
                             state_dtype=jnp.float32)
             build_s = round(time.time() - t0, 1)
@@ -510,26 +614,6 @@ def run_suite():
         finally:
             _free()
 
-    suite["suite_wall_s"] = round(time.time() - t_suite, 1)
-
-    # Headline: the e2e serving number (falls back down the list).
-    headline = None
-    for key, field in (("e2e_16x256", "tok_s"),
-                       ("decode_742m", "decode_tok_s"),
-                       ("7b_int8", "decode_tok_s")):
-        v = suite.get(key, {})
-        if isinstance(v, dict) and field in v:
-            headline = (key, v[field])
-            break
-    if headline is None:
-        headline = ("suite_failed", 0.0)
-    _emit({
-        "metric": headline[0],
-        "value": headline[1],
-        "unit": "tok/s",
-        "vs_baseline": round(headline[1] / BASELINE_TOK_S, 2),
-        "suite": suite,
-    })
 
 
 def bench_retrieval():
@@ -728,5 +812,7 @@ if __name__ == "__main__":
         bench_ivf()
     elif mode == "decode":
         bench_single_decode()
+    elif os.environ.get("BENCH_CHILD"):
+        run_parts()
     else:
         run_suite()
