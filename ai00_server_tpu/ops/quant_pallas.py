@@ -106,14 +106,18 @@ def _int8_kernel(nb_tile, blk, out_tile, rt):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
-def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("out_tile", "interpret", "out_dtype"))
+def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False,
+                out_dtype=None):
     """Fused int8 dequant-matmul: ``y = x @ (q * scale)``.
 
     x: (..., in) f32/bf16; q: (nb, BLOCK, out) int8 (in-major blocks,
     ops.quant.quantize_int8 layout); scale: (nb, 1, out) f32.  The weight
     crosses HBM exactly once, as int8 — decode throughput is then
     int8-weight-bandwidth bound instead of bf16-copy bound.
+    ``out_dtype`` overrides the x.dtype result (the LM head wants the
+    kernel's f32 accumulators un-rounded).
     """
     *lead, in_dim = x.shape
     nb, blk, out = q.shape
@@ -148,7 +152,7 @@ def matmul_int8(x, q, scale, out_tile=DEFAULT_OUT_TILE, interpret=False):
         out_shape=jax.ShapeDtypeStruct((Rp, out), jnp.float32),
         interpret=interpret,
     )(xr, q, scale)
-    return y[:R].reshape(*lead, out).astype(x.dtype)
+    return y[:R].reshape(*lead, out).astype(out_dtype or x.dtype)
 
 
 @functools.partial(jax.jit,

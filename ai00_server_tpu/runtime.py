@@ -352,6 +352,12 @@ class _ReqCtx:
     bnf_misses: int = 0
     bnf_no_chunk: bool = False
     bnf_sticky: int = 0
+    # Mask-ahead: per-token BNF rows launch allowed_mask() on the
+    # executor the moment the grammar advances, so the (1.5 ms cached /
+    # ~100 ms first-visit) mask computation overlaps the rest of the
+    # post-step host work instead of serializing before the next step
+    # (SURVEY §7 hard part (d)).
+    bnf_future: Any = None
 
 
 class Runtime:
@@ -615,10 +621,14 @@ class Runtime:
                 sample_mask[s.index] = True
 
         # BNF masks are computed on CPU and uploaded before the step
-        # (cached: recomputed only after the grammar advanced).
-        for s in rows:
-            if s.ctx.formatter is not None and sample_mask[s.index]:
-                await self._refresh_bnf_mask(loop, s)
+        # (cached: recomputed only after the grammar advanced; mask-ahead
+        # futures from the previous step usually resolve instantly here,
+        # and multiple BNF rows refresh concurrently).
+        bnf_rows = [s for s in rows
+                    if s.ctx.formatter is not None and sample_mask[s.index]]
+        if bnf_rows:
+            await asyncio.gather(*[
+                self._refresh_bnf_mask(loop, s) for s in bnf_rows])
 
         want_logits = bool(completing)
         t0 = time.monotonic()
@@ -661,7 +671,12 @@ class Runtime:
         ctx = slot.ctx
         if ctx.formatter is None or not ctx.bnf_dirty:
             return
-        mask = await loop.run_in_executor(None, ctx.formatter.allowed_mask)
+        if ctx.bnf_future is not None:
+            mask = await ctx.bnf_future       # mask-ahead result
+            ctx.bnf_future = None
+        else:
+            mask = await loop.run_in_executor(
+                None, ctx.formatter.allowed_mask)
         ctx.bnf_dirty = False
         if ctx.bnf_mask is not None and np.array_equal(mask, ctx.bnf_mask):
             # Unchanged mask: the grammar entered a sticky region (e.g. a
@@ -1242,10 +1257,23 @@ class Runtime:
         ctx.counter.completion += 1
 
         if halted is None:
-            halted = (ctx.formatter.accept(token)
-                      if ctx.formatter is not None else False)
             if ctx.formatter is not None:
+                if ctx.bnf_future is not None:
+                    # Never advance the grammar while a mask computation
+                    # is in flight on the executor.
+                    await ctx.bnf_future
+                    ctx.bnf_future = None
+                halted = ctx.formatter.accept(token)
                 ctx.bnf_dirty = True
+                if not halted:
+                    # Mask-ahead: start the next allowed-mask computation
+                    # now; _refresh_bnf_mask collects it before the next
+                    # step (per-token rows only — chunked rows compute
+                    # masks inside their replay).
+                    ctx.bnf_future = asyncio.get_event_loop() \
+                        .run_in_executor(None, ctx.formatter.allowed_mask)
+            else:
+                halted = False
 
         if token == END_OF_TEXT:
             await self._emit_bytes(ctx, b"", final=True)

@@ -445,11 +445,14 @@ def run_suite():
         except subprocess.TimeoutExpired:
             err = f"child timeout after {group_timeout:.0f}s"
         for p in want:
-            if p not in suite:
+            if _PART_KEYS.get(p, p) not in suite:
                 suite[_PART_KEYS.get(p, p)] = {"error": err or "no output"}
-
-    suite["suite_wall_s"] = round(time.time() - t_suite, 1)
-    _emit_headline(suite)
+        # Emit the RUNNING aggregate after every group: the driver
+        # records the last stdout line, so even if the whole bench run
+        # is killed mid-suite the artifact carries every completed
+        # group's numbers.
+        suite["suite_wall_s"] = round(time.time() - t_suite, 1)
+        _emit_headline(suite)
 
 
 # Child part names -> suite record keys (parts that record under a
@@ -805,6 +808,12 @@ def bench_single_decode():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_PLATFORM"):
+        # Smoke-testing hook (the axon sitecustomize forces the TPU
+        # plugin; JAX_PLATFORMS alone is not honored there).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     mode = os.environ.get("BENCH_MODE", "suite")
     if mode == "retrieval":
         bench_retrieval()
