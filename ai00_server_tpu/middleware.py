@@ -49,7 +49,10 @@ class ReloadRequest:
     lora: list[dict] = field(default_factory=list)      # {path, alpha}
     state: list[dict] = field(default_factory=list)     # {path, name, id, default}
     quant: int = 0
-    quant_type: str = "Int8"                            # Int8 | NF4 | SF4 | None
+    # Int8 | NF4 | SF4 | None (reference enum, reload.rs:23-27) plus the
+    # TPU-native Int4 extension (uniform 4-bit grid: true packed
+    # streaming speed; ops/quant.py INT4 comment).
+    quant_type: str = "Int8"
     precision: str = "Fp16"                             # Fp16 | Fp32
     token_chunk_size: int = 128
     max_batch: int = 8
@@ -160,7 +163,8 @@ class Middleware:
                          else jnp.bfloat16)
                 quant_mode = request.quant_type.lower()
                 quant = None
-                if request.quant > 0 and quant_mode in ("int8", "nf4", "sf4"):
+                if request.quant > 0 and quant_mode in ("int8", "nf4",
+                                                        "sf4", "int4"):
                     quant = {i: quant_mode for i in range(request.quant)}
                 loras = [(l["path"], float(l.get("alpha", 1.0)))
                          for l in request.lora]

@@ -117,6 +117,7 @@ def make_W(w, qmode, packs, cd):
             return (q.astype(cd) * s.astype(cd)).reshape(nb * blk, out)
         from .quant_pallas import dequant4_tile
 
-        return dequant4_tile(q, s, packs, cd)
+        # int4 passes packs=None (uniform-grid arithmetic decode).
+        return dequant4_tile(q, s, None if qmode == "int4" else packs, cd)
 
     return W

@@ -54,6 +54,16 @@ SF4_TABLE = np.array([
 NF4_TABLE8 = np.round(NF4_TABLE * 127.0).astype(np.int32)
 SF4_TABLE8 = np.round(SF4_TABLE * 127.0).astype(np.int32)
 
+# INT4 (TPU-native extension beyond the reference's Quant enum): UNIFORM
+# 4-bit levels ``w = (code - 8) * scale``, scale = absmax/8 per
+# (64-input-row block, out column).  The non-uniform NF4/SF4 tables are
+# information-theoretically better per bit, but their 16-entry lookup is
+# structurally ~13 VPU ops/element on TPU (no vector gather), which
+# makes packed streaming SLOWER than int8 despite half the bytes
+# (BASELINE.md; hence the int8 surrogate).  The uniform grid decodes in
+# ~3 ops (mask, subtract, scale-into-dot), so int4 models actually
+# realize the halved HBM traffic — the fastest 7B decode mode.
+
 
 def pack_table8(table8: np.ndarray) -> tuple:
     """Pack 16 int8 decode levels into 4 int32s (biased +128, little-endian
@@ -99,15 +109,20 @@ class QuantizedLinear:
             # q: (..., nb, B, out), scale: (..., nb, 1, out)
             w = self.q.astype(jnp.float32) * self.scale
             return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
-        # nf4/sf4: q (..., nb, NF4_BLOCK/2, out) packed SPLIT-HALF along
-        # the in axis (byte i: low nibble -> block row i, high nibble ->
-        # block row half+i); scale (..., nb, 1, out) = absmax/127.
-        table = jnp.asarray(
-            NF4_TABLE8 if self.mode == "nf4" else SF4_TABLE8, jnp.float32)
+        # nf4/sf4/int4: q (..., nb, NF4_BLOCK/2, out) packed SPLIT-HALF
+        # along the in axis (byte i: low nibble -> block row i, high
+        # nibble -> block row half+i); scale (..., nb, 1, out) =
+        # absmax/127 (table modes) or absmax/8 (int4).
         lo = (self.q & 0x0F).astype(jnp.int32)
         hi = (self.q >> 4).astype(jnp.int32)
         codes = jnp.concatenate([lo, hi], axis=-2)  # (..., nb, BLOCK, out)
-        w = table[codes] * self.scale
+        if self.mode == "int4":
+            w = (codes - 8).astype(jnp.float32) * self.scale
+        else:
+            table = jnp.asarray(
+                NF4_TABLE8 if self.mode == "nf4" else SF4_TABLE8,
+                jnp.float32)
+            w = table[codes] * self.scale
         return w.reshape(self.q.shape[:-3] + self.shape).astype(dtype)
 
     def matmul(self, x):
@@ -134,7 +149,7 @@ class QuantizedLinear:
             from .quant_pallas import matmul_int8
 
             return matmul_int8(x, self.q, self.scale)
-        if self.mode in ("nf4", "sf4") and use_pallas and \
+        if self.mode in ("nf4", "sf4", "int4") and use_pallas and \
                 jax.default_backend() in ("tpu", "axon") and \
                 self.q.ndim == 3:
             # Pallas kernel streams PACKED bytes from HBM and decodes in
@@ -200,8 +215,28 @@ def quantize_sf4(w: np.ndarray) -> QuantizedLinear:
     return _quantize_4bit(w, SF4_TABLE8, "sf4")
 
 
+def quantize_int4(w: np.ndarray) -> QuantizedLinear:
+    """Uniform int4: ``w = (code - 8) * scale``, scale = absmax/8 per
+    (NF4_BLOCK input rows, out column); same split-half packing as
+    nf4/sf4 (module constants comment)."""
+    *lead, in_dim, out = w.shape
+    assert in_dim % NF4_BLOCK == 0
+    nb = in_dim // NF4_BLOCK
+    half = NF4_BLOCK // 2
+    blocks = np.asarray(w, np.float32).reshape(*lead, nb, NF4_BLOCK, out)
+    absmax = np.maximum(np.abs(blocks).max(axis=-2, keepdims=True), 1e-12)
+    s = absmax / 8.0
+    codes = (np.clip(np.round(blocks / s), -8, 7) + 8).astype(np.uint8)
+    lo = codes[..., :half, :]
+    hi = codes[..., half:, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return QuantizedLinear("int4", jnp.asarray(packed),
+                           jnp.asarray(s.astype(np.float32)),
+                           (in_dim, out))
+
+
 QUANTIZERS = {"int8": quantize_int8, "nf4": quantize_nf4,
-              "sf4": quantize_sf4}
+              "sf4": quantize_sf4, "int4": quantize_int4}
 
 
 # -- device-side quantizers ----------------------------------------------
@@ -262,10 +297,36 @@ def quantize_4bit_jax(w, mode: str) -> QuantizedLinear:
     return QuantizedLinear(mode, q, s, (in_dim, out))
 
 
+def _quantize_int4_jax_2d(w):
+    in_dim, out = w.shape
+    nb = in_dim // NF4_BLOCK
+    half = NF4_BLOCK // 2
+    blocks = w.reshape(nb, NF4_BLOCK, out).astype(jnp.float32)
+    absmax = jnp.maximum(jnp.abs(blocks).max(axis=-2, keepdims=True), 1e-12)
+    s = absmax / 8.0
+    codes = (jnp.clip(jnp.round(blocks / s), -8, 7) + 8).astype(jnp.uint8)
+    lo = codes[:, :half, :]
+    hi = codes[:, half:, :]
+    return (lo | (hi << 4)).astype(jnp.uint8), s
+
+
+def quantize_int4_jax(w) -> QuantizedLinear:
+    """Device-side :func:`quantize_int4` (same codes/scales)."""
+    *lead, in_dim, out = w.shape
+    assert in_dim % NF4_BLOCK == 0
+    if w.ndim == 2:
+        q, s = jax.jit(_quantize_int4_jax_2d)(w)
+    else:
+        assert w.ndim == 3
+        q, s = jax.jit(lambda x: jax.lax.map(_quantize_int4_jax_2d, x))(w)
+    return QuantizedLinear("int4", q, s, (in_dim, out))
+
+
 QUANTIZERS_JAX = {
     "int8": quantize_int8_jax,
     "nf4": lambda w: quantize_4bit_jax(w, "nf4"),
     "sf4": lambda w: quantize_4bit_jax(w, "sf4"),
+    "int4": quantize_int4_jax,
 }
 
 # Large projection weights eligible for quantization (the reference

@@ -50,7 +50,14 @@ def decode_nibble(c, packs, wdt):
     constant (2-level select tree), bits 1:0 pick the byte (variable
     shift).  Arithmetic >> then & 0xFF makes the sign-extended top byte
     extraction correct.  Levels are exact in bf16 and f32 alike.
+
+    ``packs=None`` selects the UNIFORM int4 grid ``code - 8`` — one
+    subtract instead of the ~10-op tree, which is what lets packed int4
+    streaming actually realize its halved HBM bytes (ops.quant INT4
+    comment).
     """
+    if packs is None:
+        return (c - 8).astype(wdt)
     p0, p1, p2, p3 = (int(p) for p in packs)  # python ints: inline consts
     j1 = (c & 4) != 0
     word = jnp.where((c & 8) != 0,
@@ -179,7 +186,8 @@ def matmul_4bit(x, q, scale, mode="nf4", out_tile=DEFAULT_OUT_TILE,
     assert out % ot == 0, (out, ot)
     kt = min(K_TILE_BLOCKS, nb)
     assert nb % kt == 0, (nb, kt)
-    packs = pack_table8(NF4_TABLE8 if mode == "nf4" else SF4_TABLE8)
+    packs = (None if mode == "int4" else
+             pack_table8(NF4_TABLE8 if mode == "nf4" else SF4_TABLE8))
 
     # Grid (rows, out, K): K innermost so the revisited output block stays
     # resident in VMEM while the kernel accumulates across K tiles.
@@ -302,7 +310,8 @@ def matmul_4bit_l(x, q, scale, l, mode="nf4", out_tile=DEFAULT_OUT_TILE,
     assert out % ot == 0, (out, ot)
     kt = min(K_TILE_BLOCKS, nb)
     assert nb % kt == 0, (nb, kt)
-    packs = pack_table8(NF4_TABLE8 if mode == "nf4" else SF4_TABLE8)
+    packs = (None if mode == "int4" else
+             pack_table8(NF4_TABLE8 if mode == "nf4" else SF4_TABLE8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.common import GN_EPS, LN_EPS
 from .v7_phased_pallas import (
-    HEAD_GROUP, _acc_add, _big_entries, _dots_variant, _mono_dot,
+    HEAD_GROUP, _ESIZE, _acc_add, _big_entries, _dots_variant, _mono_dot,
     _tiled_dot,
 )
 
@@ -101,8 +101,8 @@ def pick_na(C, F, H, N, batch, esize, version="V6",
     hc = min(HEAD_GROUP, H)
     # Per-layer smalls (double-buffered): mixes/ln in model dtype, vecs
     # f32, plus the v6 maa/decay loras (12 arrays of C x 8-ish).
-    lora = 12 * (C * 8 + 8 * C) * esize if version == "V6" else 0
-    smalls = 2 * ((6 * C + 4 * C) * esize + 6 * C * 4 + lora)
+    lora = int(12 * (C * 8 + 8 * C) * esize) if version == "V6" else 0
+    smalls = int(2 * ((6 * C + 4 * C) * esize + 6 * C * 4 + lora))
     # 13 (B, C) + (B, F) + mono transposed staging (6 C-sized +
     # fxkT C-sized + hkT F-sized slabs).
     scratch = (13 * batch * C + batch * F
@@ -115,7 +115,7 @@ def pick_na(C, F, H, N, batch, esize, version="V6",
             continue
         if F % (4 * na) or (F // (4 * na)) % 128:
             continue
-        win = (C * C // na) * esize
+        win = int((C * C // na) * esize)
         need = state + 16 * win + smalls + scratch
         if need <= max_bytes:
             return na
@@ -125,18 +125,18 @@ def pick_na(C, F, H, N, batch, esize, version="V6",
 def can_phase(params, batch: int, version: str,
               na: int | None = None) -> bool:
     """Whether the phased kernel applies: one layer group, big
-    projections plain or uniformly int8 (4-bit models convert to int8
-    surrogate codes at load, ops/quant.py), square C = H*N, and a tile
-    count exists whose windows align and fit VMEM."""
+    projections plain or uniformly int8/int4 (NF4/SF4 models convert to
+    int8 surrogate codes at load; int4 streams PACKED — ops/quant.py),
+    square C = H*N, and a tile count exists whose windows align and fit
+    VMEM."""
     if version not in ("V5", "V6") or len(params["groups"]) != 1:
         return False
     mode, C, F, H, N = _geometry(params, version)
-    if mode not in ("none", "int8"):
+    if mode not in _ESIZE:
         return False
     if C != H * N or N % 8 != 0:
         return False
-    esize = 1 if mode == "int8" else 2
-    found = pick_na(C, F, H, N, batch, esize, version)
+    found = pick_na(C, F, H, N, batch, _ESIZE[mode], version)
     if found is None:
         return False
     return na is None or _na_ok(C, F, na)
@@ -165,7 +165,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
         for k in _ATT + _FFN:
             big[k] = refs[idx]
             idx += 1
-            if qmode == "int8":
+            if qmode in ("int8", "int4"):
                 big[k + "_s"] = refs[idx]
                 idx += 1
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
@@ -196,7 +196,8 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
             return small["vecs"][0][vec_idx[name]:vec_idx[name] + 1]
 
         def sref(name):
-            return big.get(name + "_s") if qmode == "int8" else None
+            return (big.get(name + "_s")
+                    if qmode in ("int8", "int4") else None)
 
         # ---- layer entry: ln1, token-shift mixes (+ v6 loras) ----
         @pl.when(w == 0)
@@ -262,12 +263,15 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
         # with a traced tile index (mono, default) or per-(array, tile)
         # unrolled bodies — Mosaic charges every body's vector code per
         # grid step; see v7_phased_pallas._dots_variant ----
+        packed4 = qmode == "int4"
+
         def dot_phase(lo, count, xT, xsrc, accr, name):
             if dots == "mono":
                 @pl.when((w >= lo) & (w < lo + count))
                 def _():
                     t = w - lo
-                    part = _mono_dot(xT[t], big[name], sref(name), cd)
+                    part = _mono_dot(xT[t], big[name], sref(name), cd,
+                                     packed4=packed4)
                     accr[:] = jnp.where(t == 0, part, accr[:] + part)
                 return
             K = xsrc.shape[1] // count
@@ -275,7 +279,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, version, small_keys,
                 @pl.when(w == lo + t)
                 def _(t=t):
                     part = _tiled_dot(xsrc, t * K, K, big[name],
-                                      sref(name), cd)
+                                      sref(name), cd, packed4=packed4)
                     _acc_add(accr, part, t == 0)
 
         dot_phase(0, na, xrT if dots == "mono" else None, xr_scr,
@@ -445,7 +449,7 @@ def forward_t1(params, state, tokens, lengths, version, na=None,
     qmode = fdc.group_mode(layers, fd._BIG_SRC)
     mode, _, F, H, N = _geometry(params, version)
     if na is None:
-        na = pick_na(C, F, H, N, B, 1 if qmode == "int8" else 2, version)
+        na = pick_na(C, F, H, N, B, _ESIZE.get(qmode, 2), version)
     nf = 4 * na
     Kt, Ktf, Ktv = C // na, C // nf, F // nf
     Hc = min(HEAD_GROUP, H)
@@ -479,7 +483,7 @@ def forward_t1(params, state, tokens, lengths, version, na=None,
 
             return pl.BlockSpec((1, rows, arr.shape[2]), gwrap(imap),
                                 memory_space=pltpu.VMEM)
-        nbw = rows // arr.shape[2]
+        nbw = rows // (arr.shape[2] * (2 if qmode == "int4" else 1))
 
         def imap4(l, w, _lo=lo, _count=count):
             t = jnp.clip(w - _lo, 0, _count - 1)
@@ -515,7 +519,7 @@ def forward_t1(params, state, tokens, lengths, version, na=None,
         in_specs.append(win_spec(warr, lo, count, rows))
         if sarr is not None:
             in_arrays.append(sarr)
-            nbw = rows // warr.shape[2]
+            nbw = rows // (warr.shape[2] * (2 if qmode == "int4" else 1))
 
             def smap(l, w, _lo=lo, _count=count):
                 t = jnp.clip(w - _lo, 0, _count - 1)

@@ -86,8 +86,8 @@ def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
     4x-buffered per-head-group wkv windows, double-buffered per-layer
     smalls, f32 scratch."""
     hc = min(HEAD_GROUP, H)
-    smalls = 2 * ((6 * C + 4 * C + C) * esize + (8 * C + 4 * C) * 4
-                  + 8 * C * 128 * esize)
+    smalls = int(2 * ((6 * C + 4 * C + C) * esize + (8 * C + 4 * C) * 4
+                      + 8 * C * 128 * esize))
     # 12 (B, C) + (B, F) + aux (5, B, C) + mono transposed staging
     # (4 C-sized + fxkT C-sized + hkT F-sized slabs).
     scratch = (12 * batch * C + batch * F + 5 * batch * C
@@ -100,27 +100,31 @@ def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
             continue
         if F % (4 * na) or (F // (4 * na)) % 128:
             continue
-        win = (C * C // na) * esize
+        win = int((C * C // na) * esize)
         need = state + 12 * win + smalls + scratch
         if need <= max_bytes:
             return na
     return None
 
 
+# Stored bytes per weight element by big-projection mode.
+_ESIZE = {"none": 2, "int8": 1, "int4": 0.5}
+
+
 def can_phase(params, batch: int, na: int | None = None) -> bool:
     """Whether the phased kernel applies: one layer group, big
-    projections plain or uniformly int8 (4-bit models convert to int8
-    surrogate codes at load for decode, ops/quant.py), square C = H*N,
-    and a tile count exists whose windows align and fit VMEM."""
+    projections plain or uniformly int8/int4 (NF4/SF4 models convert to
+    int8 surrogate codes at load for decode; int4 streams PACKED —
+    ops/quant.py), square C = H*N, and a tile count exists whose windows
+    align and fit VMEM."""
     if len(params["groups"]) != 1:
         return False
     mode, C, F, H, N = _geometry(params)
-    if mode not in ("none", "int8"):
+    if mode not in _ESIZE:
         return False
     if C != H * N or N % 8 != 0:
         return False
-    esize = 1 if mode == "int8" else 2
-    found = pick_na(C, F, H, N, batch, esize)
+    found = pick_na(C, F, H, N, batch, _ESIZE[mode])
     if found is None:
         return False
     return na is None or _na_ok(C, F, na)
@@ -163,11 +167,16 @@ def _dots_variant() -> str:
 _DN_K0 = (((0,), (0,)), ((), ()))  # contract axis 0 of both operands
 
 
-def _mono_dot(xt, w_ref, s_ref, cd):
+def _mono_dot(xt, w_ref, s_ref, cd, packed4=False):
     """(Kt, B) transposed x tile  @  window -> (B, out) f32.  int8
     windows keep the per-128-row-block scales on the f32 accumulator
     (cheap here: ONE body instance exists, so the scale multiplies are
-    charged once per grid step, not once per unrolled tile body)."""
+    charged once per grid step, not once per unrolled tile body).
+
+    ``packed4``: the window holds PACKED int4 (1, nb, 32, out) uint8 —
+    split-half nibbles (low nibble = block rows [0,32), high = [32,64));
+    decode is mask/shift + subtract (~3 VPU ops/element, the whole point
+    of the uniform grid), scales stay on the accumulator."""
     if s_ref is None:
         return jax.lax.dot_general(
             xt.astype(cd), w_ref[0].astype(cd), _DN_K0,
@@ -175,16 +184,28 @@ def _mono_dot(xt, w_ref, s_ref, cd):
     nb, blk, out = w_ref.shape[1:]
     acc = None
     for j in range(nb):
-        pj = jax.lax.dot_general(
-            xt[j * blk:(j + 1) * blk].astype(cd),
-            w_ref[0, j].astype(cd), _DN_K0,
-            preferred_element_type=jnp.float32)
+        if packed4:
+            packed = w_ref[0, j].astype(jnp.int32)     # (32, out)
+            wlo = ((packed & 0x0F) - 8).astype(cd)
+            whi = ((packed >> 4) - 8).astype(cd)
+            base = j * 2 * blk
+            pj = jax.lax.dot_general(
+                xt[base:base + blk].astype(cd), wlo, _DN_K0,
+                preferred_element_type=jnp.float32)
+            pj = pj + jax.lax.dot_general(
+                xt[base + blk:base + 2 * blk].astype(cd), whi, _DN_K0,
+                preferred_element_type=jnp.float32)
+        else:
+            pj = jax.lax.dot_general(
+                xt[j * blk:(j + 1) * blk].astype(cd),
+                w_ref[0, j].astype(cd), _DN_K0,
+                preferred_element_type=jnp.float32)
         pj = pj * s_ref[0, j]
         acc = pj if acc is None else acc + pj
     return acc
 
 
-def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
+def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd, packed4=False):
     """(unroll fallback) x[:, off:off+Kt] @ window, int8 sub-blocks
     scaled on the accumulator.  ``off`` is STATIC.  Chip-raced int8
     formulations at 7B na=4 (probe_phased): this form 117.7 ms/step,
@@ -200,9 +221,20 @@ def _tiled_dot(x_scr, off: int, Kt: int, w_ref, s_ref, cd):
     blk = w_ref.shape[2]
     acc = None
     for j in range(nb):
-        xj = x_scr[:, off + j * blk:off + (j + 1) * blk]
-        part = jnp.dot(xj.astype(cd), w_ref[0, j].astype(cd),
-                       preferred_element_type=jnp.float32)
+        if packed4:
+            packed = w_ref[0, j].astype(jnp.int32)
+            wlo = ((packed & 0x0F) - 8).astype(cd)
+            whi = ((packed >> 4) - 8).astype(cd)
+            base = off + j * 2 * blk
+            part = jnp.dot(x_scr[:, base:base + blk].astype(cd), wlo,
+                           preferred_element_type=jnp.float32)
+            part = part + jnp.dot(
+                x_scr[:, base + blk:base + 2 * blk].astype(cd), whi,
+                preferred_element_type=jnp.float32)
+        else:
+            xj = x_scr[:, off + j * blk:off + (j + 1) * blk]
+            part = jnp.dot(xj.astype(cd), w_ref[0, j].astype(cd),
+                           preferred_element_type=jnp.float32)
         part = part * s_ref[0, j]
         acc = part if acc is None else acc + part
     return acc
@@ -290,7 +322,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
         for k in _ATT + _FFN:
             big[k] = refs[idx]
             idx += 1
-            if qmode == "int8":
+            if qmode in ("int8", "int4"):
                 big[k + "_s"] = refs[idx]
                 idx += 1
         (xout_ref, natt_x_ref, nwkv_ref, nffn_x_ref) = refs[idx:idx + 4]
@@ -326,7 +358,8 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             return small["vecs"][0][i:i + 1]
 
         def sref(name):
-            return big.get(name + "_s") if qmode == "int8" else None
+            return (big.get(name + "_s")
+                    if qmode in ("int8", "int4") else None)
 
         # ---- layer entry: ln1, token-shift mixes, lora branches ----
         # (split into two predicated bodies, "entry1"/"entry2", for the
@@ -397,12 +430,15 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
         # unrolled bodies cost ~48 us/step in scale multiplies alone at
         # 7B int8 na=4 (see _dots_variant).  The weight WINDOW tracks w
         # via its clamped index map either way. ----
+        packed4 = qmode == "int4"
+
         def dot_phase(lo, count, xT, xsrc, accr, name):
             if dots == "mono":
                 @pl.when((w >= lo) & (w < lo + count) & keep("dots"))
                 def _():
                     t = w - lo
-                    part = _mono_dot(xT[t], big[name], sref(name), cd)
+                    part = _mono_dot(xT[t], big[name], sref(name), cd,
+                                     packed4=packed4)
                     accr[:] = jnp.where(t == 0, part, accr[:] + part)
                 return
             K = xsrc.shape[1] // count
@@ -410,7 +446,7 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
                 @pl.when((w == lo + t) & keep("dots"))
                 def _(t=t):
                     part = _tiled_dot(xsrc, t * K, K, big[name],
-                                      sref(name), cd)
+                                      sref(name), cd, packed4=packed4)
                     _acc_add(accr, part, t == 0)
 
         dot_phase(0, na, xrT if dots == "mono" else None, xr_scr,
@@ -662,7 +698,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
     wq, _ = _big_entries(fused, "fkey")
     F = wq.shape[-1]
     if na is None:
-        na = pick_na(C, F, H, N, B, 1 if qmode == "int8" else 2)
+        na = pick_na(C, F, H, N, B, _ESIZE.get(qmode, 2))
     nf = 4 * na
     Kt, Ktf, Ktv = C // na, C // nf, F // nf
     Hc = min(HEAD_GROUP, H)
@@ -698,9 +734,11 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
     def win_spec(arr, lo, count, rows):
         """K-window spec over a stacked big array: plain (L, IN, OUT) ->
         block (1, rows, OUT); int8 (L, nb, blk, OUT) -> block
-        (1, rows//blk, blk, OUT).  The tile index CLAMPS to [lo, lo+count)
-        so the window is fetched exactly once per layer and reused (same
-        block index => no re-DMA) outside its phase range."""
+        (1, rows//blk, blk, OUT); packed int4 (L, nb, blk/2, OUT) -> the
+        byte dim covers 2 input rows each.  The tile index CLAMPS to
+        [lo, lo+count) so the window is fetched exactly once per layer
+        and reused (same block index => no re-DMA) outside its phase
+        range."""
         if arr.ndim == 3:
             blk_rows = rows
 
@@ -710,7 +748,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
 
             return pl.BlockSpec((1, blk_rows, arr.shape[2]), gwrap(imap),
                                 memory_space=pltpu.VMEM)
-        nbw = rows // arr.shape[2]
+        nbw = rows // (arr.shape[2] * (2 if qmode == "int4" else 1))
 
         def imap4(l, w):
             t = jnp.clip(w - lo, 0, count - 1)
@@ -754,7 +792,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
         in_specs.append(win_spec(warr, lo, count, rows))
         if sarr is not None:
             in_arrays.append(sarr)
-            nbw = rows // warr.shape[2]
+            nbw = rows // (warr.shape[2] * (2 if qmode == "int4" else 1))
 
             def smap(l, w, _lo=lo, _count=count):
                 t = jnp.clip(w - _lo, 0, _count - 1)

@@ -148,7 +148,7 @@ def _jax_cache():
         pass
 
 
-def bench_decode_engine(engine, decode_steps=64, chunk=32, prefill=True):
+def bench_decode_engine(engine, decode_steps=128, chunk=32, prefill=True):
     """Batched decode + prefill throughput through one Engine.  The
     production fast path: K tokens per device dispatch (the runtime's
     chunked-decode scan), sampled tokens staying on device between
@@ -177,9 +177,15 @@ def bench_decode_engine(engine, decode_steps=64, chunk=32, prefill=True):
     else:
         cur = rng.integers(0, V, size=B).astype(np.int32)
 
-    toks_seq, _ = engine.decode_chunk(cur, mask, chunk, sync=False)
-    cur = toks_seq[-1]
-    jax.block_until_ready(cur)
+    # Two unmeasured passes: the first compiles; the second settles the
+    # tunnel (the first timed loop after a fresh compile absorbs ~100x
+    # of deferred warm-up work on the tunneled chip — measured, not
+    # superstition).  np.asarray (not block_until_ready) is the reliable
+    # fence through the tunnel.
+    for _ in range(2):
+        toks_seq, _ = engine.decode_chunk(cur, mask, chunk, sync=False)
+        cur = toks_seq[-1]
+        np.asarray(toks_seq)
     t0 = time.time()
     steps_done = 0
     while steps_done < decode_steps:
@@ -387,7 +393,7 @@ def _free():
     gc.collect()
 
 
-DEFAULT_PARTS = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,7b_v6_int8,ivf"
+DEFAULT_PARTS = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,7b_int4,7b_v6_int8,ivf"
 
 # Process-isolation groups: each group runs in its OWN child process (one
 # JAX client + TPU worker session).  A kernel fault, OOM, or tunnel-worker
@@ -398,6 +404,7 @@ SUITE_GROUPS = (
     ("decode", "e2e", "bnf", "mixed"),   # one 742M build
     ("7b_int8",),
     ("7b_nf4",),
+    ("7b_int4",),
     ("7b_v6_int8",),
     ("ivf",),
 )
@@ -572,6 +579,7 @@ def run_parts():
     # ---- 7B-class (L32 C4096): phased kernel, quantized ---------------
     for part, quant, ver in (("7b_int8", "int8", "V7"),
                              ("7b_nf4", "nf4", "V7"),
+                             ("7b_int4", "int4", "V7"),
                              ("7b_v6_int8", "int8", "V6")):
         if part not in parts:
             continue
@@ -579,14 +587,22 @@ def run_parts():
             t0 = time.time()
             model, info = build_model(Lb, Cb, 64, V, jnp.bfloat16,
                                       quant=quant, version=ver)
+            # bf16 state = the reference's DEFAULT Precision::Fp16 for
+            # intermediate tensors (reload.rs:89-93 #[default] Fp16);
+            # the 7B wkv state read+write is 1.07 GB/step at f32.
             engine = Engine(model, max_batch=B, token_chunk_size=128,
-                            state_dtype=jnp.float32)
+                            state_dtype=jnp.bfloat16)
             build_s = round(time.time() - t0, 1)
-            d = bench_decode_engine(engine, decode_steps=64, chunk=16,
+            # chunk=64: the serving loop's steady-state bucket (the
+            # runtime 4x-buckets decode chunks to 64 when every row has
+            # the token budget), so the per-step dispatch overhead
+            # matches production.
+            d = bench_decode_engine(engine, decode_steps=192, chunk=64,
                                     prefill=part == "7b_int8")
             d["params_millions"] = round(count_params(model.params) / 1e6, 1)
             d["build_s"] = build_s
             d["phased"] = any(k.startswith("_fused") for k in model.params)
+            d["state"] = "bf16"  # reference-default Precision::Fp16
             if part == "7b_nf4":
                 d["decode_path"] = ("int8-surrogate"
                                     if model.surrogate_modes else "packed")

@@ -126,7 +126,7 @@ def test_fused_bf16_tracks_f32_reference(stack):
         (err_fused, err_generic)
 
 
-@pytest.mark.parametrize("mode", ["int8", "nf4"])
+@pytest.mark.parametrize("mode", ["int8", "nf4", "int4"])
 def test_fused_quantized_matches_generic(mode):
     """Quantized big projections stream as codes+scales and dequantize in
     VMEM; fused must match the generic quantized forward."""

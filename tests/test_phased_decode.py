@@ -78,6 +78,23 @@ def test_phased_matches_generic_int8(stack):
                                    rtol=3e-3, atol=3e-4, err_msg=k)
 
 
+def test_phased_matches_generic_int4(stack):
+    """Uniform int4: the kernel decodes PACKED nibbles in VMEM (split-
+    half, (code-8)*scale with scales on the accumulator) — must match
+    the generic path's XLA dequant bit for bit at f32."""
+    info, raw, params = stack
+    pq = make_params(info, make_raw_weights(info, seed=9, dtype=np.float32),
+                     dtype=np.float32,
+                     quant={i: "int4" for i in range(info.num_layer)})
+    assert pd.can_phase(pq, batch=4, na=1)
+    (h_ref, s_ref), (h_p, s_p), _ = _run_both(info, pq, na=1)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=3e-4, atol=3e-4)
+    for k in s_ref:
+        np.testing.assert_allclose(np.asarray(s_p[k]), np.asarray(s_ref[k]),
+                                   rtol=3e-3, atol=3e-4, err_msg=k)
+
+
 def test_phased_multi_tile_accumulation():
     """na=2 at C=1024 exercises multi-tile accumulators on every matmul."""
     info, raw, params = make_tiny_model(

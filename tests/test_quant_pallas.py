@@ -10,7 +10,7 @@ from ai00_server_tpu.ops import quant
 from ai00_server_tpu.ops.quant_pallas import matmul_4bit
 
 
-@pytest.mark.parametrize("mode", ["nf4", "sf4"])
+@pytest.mark.parametrize("mode", ["nf4", "sf4", "int4"])
 @pytest.mark.parametrize("shape", [(128, 256), (256, 512)])
 def test_matmul_4bit_matches_dequant(mode, shape):
     rng = np.random.default_rng(0)
@@ -68,7 +68,7 @@ def test_matmul_int8_3d_input():
                                atol=2e-2, rtol=2e-2)
 
 
-@pytest.mark.parametrize("mode", ["int8", "nf4"])
+@pytest.mark.parametrize("mode", ["int8", "nf4", "int4"])
 def test_stacked_layer_matmul(mode):
     """Scalar-prefetch layer indexing into stacked codes == slicing."""
     from ai00_server_tpu.ops.quant_pallas import matmul_4bit_l, matmul_int8_l
@@ -113,3 +113,26 @@ def test_hoisted_scan_matches_sliced():
     h_q, _ = jax.jit(v7.forward)(p_q, s, toks, lens)
     rel = float(jnp.abs(h_q - h_fp).max() / jnp.abs(h_fp).max())
     assert rel < 0.1, rel
+
+
+def test_int4_quantizer_roundtrip_error():
+    """Uniform int4: dequant error bounded by half a step (absmax/16)
+    everywhere except the +absmax element, which clips to 7/8*absmax
+    (the [-8, 7] grid is asymmetric) — so one full step bounds all; the
+    device quantizer matches numpy exactly."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q = quant.quantize_int4(w)
+    deq = np.asarray(q.dequant())
+    blocks = w.reshape(-1, quant.NF4_BLOCK, 128)
+    absmax = np.abs(blocks).max(axis=1, keepdims=True)
+    step = (absmax / 8.0).repeat(quant.NF4_BLOCK, axis=1).reshape(w.shape)
+    err = np.abs(deq - w)
+    assert np.all(err <= step + 1e-6)
+    # Interior (non-clipped) elements stay within half a step.
+    assert np.mean(err <= step / 2 + 1e-6) > 0.95
+
+    qd = quant.quantize_int4_jax(jnp.asarray(w))
+    np.testing.assert_array_equal(np.asarray(qd.q), np.asarray(q.q))
+    np.testing.assert_allclose(np.asarray(qd.scale), np.asarray(q.scale),
+                               rtol=1e-6)
