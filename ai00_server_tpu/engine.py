@@ -204,6 +204,7 @@ class Engine:
         # T-bucketed compiled step fns.
         self._steps: dict[int, callable] = {}
         self._decode_scans: dict[int, callable] = {}
+        self._embed_fns: dict[int, callable] = {}
         # Pre-chunk state snapshot for mid-chunk stop rollback.
         # Ring of (state, sampler) pre-chunk snapshots: [-1] is the most
         # recent chunk's pre-state (rollback_row), [-2] survives one
@@ -344,6 +345,55 @@ class Engine:
         with self._lock:
             vec = self._read_row_embed(self.state_pool, jnp.int32(b))
         return np.asarray(vec)
+
+    def _get_embed_chunk(self, T: int):
+        fn = self._embed_fns.get(T)
+        if fn is None:
+            module = self.module
+
+            @jax.jit
+            def emb(params, state, toks, length):
+                h, new_state = module.forward(params, state, toks, length)
+                mask = (jnp.arange(toks.shape[1])
+                        < length[0])[None, :, None]
+                hsum = (h.astype(jnp.float32) * mask).sum(1)  # (1, C)
+                return hsum[0], new_state
+
+            self._embed_fns[T] = fn = emb
+        return fn
+
+    def mean_hidden_embed(self, token_ids, chunk: int | None = None
+                          ) -> np.ndarray:
+        """Masked mean over ALL positions of the final (post-ln_out)
+        hidden states — the standard LM sentence-embedding recipe, and
+        the /embeddings default readout.
+
+        The final-state pooling (read_row_embed) measured ~random
+        passage-retrieval recall (the recurrent state at the end of a
+        text mostly reflects its recent tokens — tools/
+        eval_embed_quality.py, BASELINE.md); every position contributing
+        equally carries the whole passage.  Runs a dedicated batch-1
+        chunked forward off the state pool (chunk-size-bucketed, one
+        compile); the serving prefill's own hidden states are not
+        captured today — folding this accumulation into the serving
+        step would halve the embed cost."""
+        chunk = int(chunk or self.token_chunk_size)
+        state = self.fresh_row_state()
+        params = self.model.params
+        acc = np.zeros(self.info.num_emb, np.float64)
+        cnt = 0
+        fn = self._get_embed_chunk(chunk)
+        for off in range(0, max(len(token_ids), 1), chunk):
+            part = token_ids[off:off + chunk]
+            toks = np.zeros((1, chunk), np.int32)
+            toks[0, :len(part)] = part
+            hsum, state = fn(params, state, jnp.asarray(toks),
+                             jnp.asarray([len(part)], jnp.int32))
+            acc += np.asarray(hsum, np.float64)
+            cnt += len(part)
+        v = acc / max(cnt, 1)
+        return (v / max(float(np.linalg.norm(v)), 1e-12)).astype(
+            np.float32)
 
     # ------------------------------------------------------------------
     # Sampler / bias / mask row management

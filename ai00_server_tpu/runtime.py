@@ -517,16 +517,30 @@ class Runtime:
         iteration fails the affected requests and resets the slots
         (reference behavior: errors reset the slot to Idle,
         run.rs:649-656) instead of killing the loop."""
+        fail_streak = 0
         while not self._stopped:
             try:
                 await self._drive_once()
+                fail_streak = 0
             except asyncio.CancelledError:
                 raise
             except Exception:
                 import logging
 
-                logging.getLogger(__name__).exception(
-                    "runtime step failed; resetting busy slots")
+                # Rate-limit a persistent failure (e.g. a wedged device
+                # failing every iteration): full tracebacks for the
+                # first few, then one line per 100, with backoff — an
+                # unthrottled loop once wrote hundreds of MB of
+                # identical tracebacks.
+                fail_streak += 1
+                log = logging.getLogger(__name__)
+                if fail_streak <= 3:
+                    log.exception(
+                        "runtime step failed; resetting busy slots")
+                elif fail_streak % 100 == 0:
+                    log.error("runtime step still failing (%d in a row)",
+                              fail_streak)
+                await asyncio.sleep(min(0.05 * fail_streak, 5.0))
                 # A stale in-flight chunk record would either crash
                 # _consume_chunk on the reset slots (ctx=None) or restore
                 # a pre-crash whole-pool snapshot over freshly admitted
@@ -1315,8 +1329,19 @@ class Runtime:
 
     async def _emit_state(self, slot: _Slot) -> None:
         if slot.ctx.request.pooled:
-            vec = await asyncio.get_event_loop().run_in_executor(
-                None, self.engine.read_row_embed, slot.index)
+            ctx = slot.ctx
+            if not ctx.request.state_id:
+                # Default init state: mean-hidden readout (a dedicated
+                # chunked forward; retrieval-grade — see
+                # Engine.mean_hidden_embed).
+                vec = await asyncio.get_event_loop().run_in_executor(
+                    None, self.engine.mean_hidden_embed,
+                    list(ctx.prompt_tokens))
+            else:
+                # Custom initial state: its influence lives in the row
+                # state, so pool that (the legacy readout).
+                vec = await asyncio.get_event_loop().run_in_executor(
+                    None, self.engine.read_row_embed, slot.index)
             await slot.ctx.handle.queue.put(("embed_vec", vec))
         else:
             state = await asyncio.get_event_loop().run_in_executor(

@@ -500,21 +500,21 @@ class Server:
 
     async def _embed_texts(self, env, texts: list[str],
                            state_id: str | None = None) -> np.ndarray:
-        """Model-derived sentence embeddings from the full RWKV state
-        (the RNN's whole memory of the text), L2-normalized to 3C dims:
+        """Model-derived sentence embeddings, L2-normalized.
 
-          [ mean over layers of att_x  |  mean over layers of ffn_x  |
-            mean over layers+rows of the wkv outer-product state ]
-
-        each component unit-normalized before the concat so the wkv
-        magnitudes (which grow with sequence length) cannot drown the
-        shift states.  The wkv read is the uniform-query readout
-        sum_k state[.., v, k] — whole-sequence context, unlike a
-        token-shift state's one-token memory.  Texts are submitted
-        concurrently — the runtime batches them across slots.
-        (Reference: states endpoint returns this same full state raw,
-        run.rs:984-989; the embeddings endpoint is this build's native
-        replacement for the retired RWKV-layer-embeddings API.)"""
+        Default (no custom initial state): masked MEAN over all
+        positions of the final hidden states (C dims) — measured
+        retrieval-grade (recall@10 0.91 vs 0.07 for final-state pooling
+        on the real-prose eval, tools/eval_embed_quality.py /
+        BASELINE.md).  With a custom ``state`` id the pooled full-state
+        readout is served instead (3C dims: [mean att_x | mean ffn_x |
+        wkv uniform-query readout], each part unit-normalized) since
+        the custom state's influence lives in the state, not the
+        default-state hiddens.  Texts are submitted concurrently — the
+        runtime batches them across slots.  (Reference: the states
+        endpoint returns the raw full state, run.rs:984-989; the
+        embeddings endpoint is this build's native replacement for the
+        retired RWKV-layer-embeddings API.)"""
         handles = []
         for text in texts:
             req = GenerateRequest(prompt=str(text), max_tokens=1,

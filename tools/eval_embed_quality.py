@@ -149,20 +149,32 @@ def train_model(corpus: bytes, n_layer=4, n_embd=256, steps=400,
 
 
 def embed_texts(info, params, texts, batch=16, chunk=128):
-    """The /api/oai/embeddings readout (server/app.py _embed_texts),
-    computed directly: prefill each text, then normalized
-    [mean att_x | mean ffn_x | wkv uniform-query readout]."""
+    """Both /api/oai/embeddings readouts, computed directly:
+
+    * ``hidden_mean`` — masked mean over ALL positions of the final
+      (post-ln_out) hidden states, the engine's pooled readout (the
+      standard LM sentence-embedding recipe; the whole passage
+      contributes equally).
+    * ``state_pool`` — the legacy final-state pooling (normalized
+      [mean att_x | mean ffn_x | wkv uniform-query readout]); the
+      recurrent state at the END of a text mostly reflects its recent
+      tokens, which this eval showed carries ~random passage-retrieval
+      signal (BASELINE.md).
+    """
     import jax.numpy as jnp
 
     from ai00_server_tpu.models import v7
 
     vecs = []
+    hvecs = []
     for i in range(0, len(texts), batch):
         group = texts[i:i + batch]
         B = len(group)
         toks = [np.frombuffer(t, np.uint8).astype(np.int32) for t in group]
         state = v7.init_state(info, B, jnp.float32)
         maxlen = max(len(t) for t in toks)
+        hsum = np.zeros((B, info.num_emb), np.float32)
+        hcnt = np.zeros(B, np.float32)
         for off in range(0, maxlen, chunk):
             T = min(chunk, maxlen - off)
             x = np.zeros((B, T), np.int32)
@@ -172,8 +184,15 @@ def embed_texts(info, params, texts, batch=16, chunk=128):
                 if n:
                     x[b, :n] = t[off:off + n]
                     lens[b] = n
-            _, state = v7.forward(params, state,
+            h, state = v7.forward(params, state,
                                   jnp.asarray(x), jnp.asarray(lens))
+            h = np.asarray(h, np.float32)              # (B, T, C)
+            valid = (np.arange(T)[None, :] < lens[:, None])
+            hsum += (h * valid[..., None]).sum(1)
+            hcnt += lens
+        hv = hsum / np.maximum(hcnt, 1.0)[:, None]
+        hv /= np.maximum(np.linalg.norm(hv, axis=1, keepdims=True), 1e-12)
+        hvecs.extend(hv)
         att = np.asarray(state["att_x"], np.float32)   # (L, B, C)
         ffn = np.asarray(state["ffn_x"], np.float32)
         wkv = np.asarray(state["wkv"], np.float32)     # (L, B, H, N, N)
@@ -183,7 +202,7 @@ def embed_texts(info, params, texts, batch=16, chunk=128):
             v = np.concatenate([
                 p / max(float(np.linalg.norm(p)), 1e-12) for p in parts])
             vecs.append(v / max(float(np.linalg.norm(v)), 1e-12))
-    return np.stack(vecs)
+    return np.stack(hvecs), np.stack(vecs)
 
 
 def tfidf_vectors(texts, dim=4096, seed=0):
@@ -237,29 +256,30 @@ def main():
     info, params = train_model(corpus, steps=steps)
 
     t0 = time.time()
-    pv = embed_texts(info, params, passages)
-    qv = embed_texts(info, params, queries)
+    ph, pv = embed_texts(info, params, passages)
+    qh, qv = embed_texts(info, params, queries)
     embed_s = time.time() - t0
 
     out = {"passages": n, "passage_bytes": psize, "query_bytes": qspan,
-           "train_steps": steps, "embed_dim": pv.shape[1],
+           "train_steps": steps, "embed_dim": int(ph.shape[1]),
            "embed_s": round(embed_s, 1)}
+    out["hidden_mean_exact"] = rank_metrics(qh @ ph.T)
     out["state_exact"] = rank_metrics(qv @ pv.T)
 
-    # IVF over the state embeddings (int8-coded, the 10M-scale path).
+    # IVF over the mean-hidden embeddings (int8-coded, the 10M path).
     from ai00_server_tpu.ops import retrieval as R
     import jax.numpy as jnp
     nlist = max(4, int(np.sqrt(n)))
-    ivf = R.build_ivf(pv.astype(np.float32), nlist=nlist, iters=8,
+    ivf = R.build_ivf(ph.astype(np.float32), nlist=nlist, iters=8,
                       quant="int8")
     _, ids = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
-                          jnp.asarray(qv, jnp.float32), k=min(10, n),
+                          jnp.asarray(qh, jnp.float32), k=min(10, n),
                           nprobe=max(1, nlist // 4), pscale=ivf.pscale)
     ids = np.asarray(ids)
     hit = np.array([np.where(ids[i] == i)[0] for i in range(n)],
                    dtype=object)
     ranks = np.array([int(h[0]) if len(h) else 10 ** 6 for h in hit])
-    out["state_ivf_int8"] = {
+    out["hidden_mean_ivf_int8"] = {
         "recall1": round(float((ranks == 0).mean()), 4),
         "recall10": round(float((ranks < 10).mean()), 4),
         "nlist": nlist,
