@@ -162,3 +162,25 @@ def test_quant_head_logits_close(monkeypatch):
     toks, _ = eng.decode_chunk(np.zeros(2, np.int32),
                                np.ones(2, np.bool_), 4)
     assert np.asarray(toks).shape == (4, 2)
+
+
+def test_mean_hidden_embed_matches_forward(engine):
+    """Engine.mean_hidden_embed == masked mean of v7.forward hiddens,
+    computed across chunk boundaries."""
+    from ai00_server_tpu.models import v7
+
+    eng, info = engine
+    rng = np.random.default_rng(4)
+    toks = rng.integers(1, info.num_vocab, size=19).tolist()
+    vec = eng.mean_hidden_embed(toks, chunk=8)
+    assert vec.shape == (info.num_emb,)
+    assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-5
+
+    state = v7.init_state(info, 1, jnp.float32)
+    h, _ = jax.jit(v7.forward)(
+        eng.model.params, state,
+        jnp.asarray(np.asarray(toks, np.int32)[None]),
+        jnp.asarray([len(toks)], jnp.int32))
+    ref = np.asarray(h, np.float32)[0].mean(0)
+    ref = ref / max(float(np.linalg.norm(ref)), 1e-12)
+    np.testing.assert_allclose(vec, ref, rtol=2e-4, atol=2e-4)
