@@ -56,13 +56,17 @@ SF4_TABLE8 = np.round(SF4_TABLE * 127.0).astype(np.int32)
 
 # INT4 (TPU-native extension beyond the reference's Quant enum): UNIFORM
 # 4-bit levels ``w = (code - 8) * scale``, scale = absmax/8 per
-# (64-input-row block, out column).  The non-uniform NF4/SF4 tables are
-# information-theoretically better per bit, but their 16-entry lookup is
-# structurally ~13 VPU ops/element on TPU (no vector gather), which
-# makes packed streaming SLOWER than int8 despite half the bytes
-# (BASELINE.md; hence the int8 surrogate).  The uniform grid decodes in
-# ~3 ops (mask, subtract, scale-into-dot), so int4 models actually
-# realize the halved HBM traffic — the fastest 7B decode mode.
+# (64-input-row block, out column).  Designed to test whether a minimal
+# (~6 VPU ops/element: mask/shift/subtract/convert x2 nibbles) unpack
+# could let packed 4-bit streaming beat int8: measured on v5e it CANNOT
+# — 7B phased decode ran 46.6 ms/step packed vs 14.8 int8 (and the
+# NF4 table's ~13-op decode ran 27).  Per-element VPU work costs ~2 ms
+# per op-per-element at 7B, far above the ~4.4 ms the halved DMA saves,
+# so true 4-bit-at-its-bytes decode is STRUCTURALLY VPU-bound on this
+# hardware.  All 4-bit modes therefore decode through int8 SURROGATE
+# codes by default (exact for int4: the levels ARE int8), keeping the
+# packed form for storage/prefab and for memory-constrained loading
+# (AI00_NF4_DECODE=packed).
 
 
 def pack_table8(table8: np.ndarray) -> tuple:
@@ -417,18 +421,21 @@ class QuantizedLayerView:
 
 
 def use_int8_surrogate() -> bool:
-    """Whether 4-bit models decode through int8 SURROGATE codes.
+    """Whether 4-bit models (nf4/sf4/int4) decode through int8 SURROGATE
+    codes.
 
-    The packed 4-bit Pallas decode is VPU-bound (~13 ops/element, 123-135
-    GB/s int4-equivalent — BASELINE.md), so NF4/SF4 decode ran ~1.7x
-    SLOWER than int8 despite half the HBM traffic.  The surrogate stores
-    ``table8[code]`` as int8 codes with the same per-64-row-block scales:
-    dequantized values are BIT-IDENTICAL to the packed path (both decode
-    through the integer tables), but the decode becomes a plain int8
-    convert that fuses into the matmul — int8-class speed at 2x the
-    4-bit HBM bytes.  Default on TPU; AI00_NF4_DECODE=packed keeps the
-    true 4-bit streaming path (halves weight memory, for models that
-    would not otherwise fit).
+    Packed 4-bit Pallas decode is VPU-bound on TPU v5e, measured at TWO
+    op counts: the NF4 table's ~13 ops/element ran 27 ms/step at 7B and
+    the uniform int4 grid's ~6 ops ran 46.6 ms/step through the phased
+    kernel (mono-body accounting differs), both FAR above int8's
+    14.8 ms — per-element unpack work costs more than the halved DMA
+    saves, structurally.  The surrogate stores the integer decode
+    levels as int8 codes with the same per-64-row-block scales:
+    dequantized values are BIT-IDENTICAL to the packed path, but the
+    decode becomes a plain int8 convert that fuses into the matmul —
+    int8-class speed at 2x the 4-bit HBM bytes.  Default on TPU;
+    AI00_NF4_DECODE=packed keeps the true 4-bit streaming path (halves
+    weight memory, for models that would not otherwise fit).
     """
     import os
 
@@ -439,17 +446,21 @@ def use_int8_surrogate() -> bool:
 
 
 def to_int8_surrogate(qlin: QuantizedLinear) -> QuantizedLinear:
-    """nf4/sf4 -> int8 surrogate: codes become ``table8[nibble]`` int8
-    values (exactly the packed path's decode levels), scales unchanged
-    (per-64-row block).  Runs on device, layer by layer, so the temporary
-    unpack never exceeds one layer's footprint."""
-    assert qlin.mode in ("nf4", "sf4"), qlin.mode
-    table = NF4_TABLE8 if qlin.mode == "nf4" else SF4_TABLE8  # host ints
+    """4-bit -> int8 surrogate: codes become the integer decode levels
+    as int8 (``table8[nibble]`` for nf4/sf4; ``nibble - 8`` for int4 —
+    EXACT, the uniform levels are int8 already), scales unchanged
+    (per-64-row block).  Runs on device, layer by layer, so the
+    temporary unpack never exceeds one layer's footprint."""
+    assert qlin.mode in ("nf4", "sf4", "int4"), qlin.mode
+    table = (None if qlin.mode == "int4"
+             else NF4_TABLE8 if qlin.mode == "nf4" else SF4_TABLE8)
 
     def conv(q):
         lo = (q & 0x0F).astype(jnp.int32)
         hi = (q >> 4).astype(jnp.int32)
         codes = jnp.concatenate([lo, hi], axis=-2)  # (nb, BLOCK, out)
+        if table is None:
+            return (codes - 8).astype(jnp.int8)
         # 16-entry lookup without gather: 4-level select tree on the
         # nibble bits (XLA fuses this into one elementwise pass).
         v = jnp.zeros(codes.shape, jnp.int32)
@@ -467,12 +478,15 @@ def to_int8_surrogate(qlin: QuantizedLinear) -> QuantizedLinear:
 def repack_surrogate(q8: np.ndarray, scale: np.ndarray, mode: str,
                      shape) -> QuantizedLinear:
     """Invert :func:`to_int8_surrogate` exactly (host-side, for prefab
-    export): surrogate int8 values are distinct table levels, so the
+    export): surrogate int8 values are distinct decode levels, so the
     nibbles recover losslessly."""
-    table8 = NF4_TABLE8 if mode == "nf4" else SF4_TABLE8
-    order = np.argsort(table8)
-    codes = order[np.searchsorted(table8[order],
-                                  q8.astype(np.int32))].astype(np.uint8)
+    if mode == "int4":
+        codes = (q8.astype(np.int32) + 8).astype(np.uint8)
+    else:
+        table8 = NF4_TABLE8 if mode == "nf4" else SF4_TABLE8
+        order = np.argsort(table8)
+        codes = order[np.searchsorted(table8[order],
+                                      q8.astype(np.int32))].astype(np.uint8)
     half = codes.shape[-2] // 2
     lo = codes[..., :half, :]
     hi = codes[..., half:, :]
@@ -499,7 +513,8 @@ def surrogate_group(layers: dict) -> dict:
                 if r is not None:
                     node[i] = r
             return None
-        if isinstance(node, QuantizedLinear) and node.mode in ("nf4", "sf4"):
+        if isinstance(node, QuantizedLinear) and node.mode in (
+                "nf4", "sf4", "int4"):
             converted[".".join(map(str, path))] = node.mode
             return to_int8_surrogate(node)
         return None

@@ -393,7 +393,10 @@ def _free():
     gc.collect()
 
 
-DEFAULT_PARTS = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,7b_int4,7b_v6_int8,ivf"
+# 7b_int4 is selectable but not default: int4 decodes through the same
+# int8-surrogate path as nf4 (true packed streaming measured 3x slower,
+# ops/quant.py INT4 comment), so its number duplicates 7b_nf4's.
+DEFAULT_PARTS = "decode,e2e,bnf,mixed,7b_int8,7b_nf4,7b_v6_int8,ivf"
 
 # Process-isolation groups: each group runs in its OWN child process (one
 # JAX client + TPU worker session).  A kernel fault, OOM, or tunnel-worker

@@ -19,7 +19,7 @@ from ai00_server_tpu.ops import quant
 from ai00_server_tpu.testing import make_params, make_raw_weights, tiny_info
 
 
-@pytest.mark.parametrize("mode", ["nf4", "sf4"])
+@pytest.mark.parametrize("mode", ["nf4", "sf4", "int4"])
 def test_surrogate_dequant_identical(mode):
     rng = np.random.default_rng(0)
     w = rng.standard_normal((128, 96)).astype(np.float32)
@@ -30,7 +30,7 @@ def test_surrogate_dequant_identical(mode):
                                   np.asarray(qlin.dequant(jnp.float32)))
 
 
-@pytest.mark.parametrize("mode", ["nf4", "sf4"])
+@pytest.mark.parametrize("mode", ["nf4", "sf4", "int4"])
 def test_surrogate_repack_lossless(mode):
     rng = np.random.default_rng(1)
     w = rng.standard_normal((1, 192, 64)).astype(np.float32)  # stacked L=1
