@@ -566,7 +566,17 @@ class Runtime:
                         len(self.pending),
                         sum(1 for s in self.slots
                             if s.phase != _SlotPhase.IDLE))
+        was_idle = all(s.phase == _SlotPhase.IDLE for s in self.slots)
         await self._admit()
+        if was_idle and any(s.phase == _SlotPhase.PREFILL
+                            for s in self.slots):
+            # Admission grace from idle: a burst of concurrent requests
+            # arrives over a few event-loop ticks; one short yield lets
+            # the rest of the burst land so ALL rows share one merged
+            # prefill step and the first decode chunk, instead of a
+            # second wave queueing behind a 64-step chunk scan.
+            await asyncio.sleep(0.002)
+            await self._admit()
         active = [s for s in self.slots if s.phase != _SlotPhase.IDLE]
         if not active:
             self._wake.clear()
