@@ -396,6 +396,17 @@ class Runtime:
         self._spec = None
         self._speculative = os.environ.get(
             "AI00_SPECULATIVE_DECODE", "on") != "off"
+        # Dedicated single-thread executor for DRIVE-CRITICAL device
+        # calls (merged steps, chunk launch/consume, rollbacks).  On the
+        # shared default pool these queued behind bulk work like
+        # back-cache full-state downloads — measured: a burst of 16
+        # finishing requests delayed the next wave's prefill step by
+        # ~3 s.  Bulk/background work (cache materialize, BNF masks,
+        # embeds) stays on the default pool.
+        import concurrent.futures as _cf
+
+        self._device_pool = _cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="engine-drive")
 
         self.metrics = {
             "steps": 0,
@@ -448,6 +459,7 @@ class Runtime:
                 ("stop", FinishReason.ABORT, ctx.counter))
             await ctx.handle.queue.put(("done",))
         self.pending = []
+        self._device_pool.shutdown(wait=False)
         if os.environ.get("AI00_DRIVE_STATS"):
             import json as _json
 
@@ -465,7 +477,8 @@ class Runtime:
         self._spec = None
         loop = asyncio.get_event_loop()
         try:
-            await loop.run_in_executor(None, self.engine.restore_last_chunk)
+            await loop.run_in_executor(self._device_pool,
+                                       self.engine.restore_last_chunk)
         except Exception:
             logger.exception("speculative-chunk rollback failed")
 
@@ -657,7 +670,8 @@ class Runtime:
         want_logits = bool(completing)
         t0 = time.monotonic()
         result = await loop.run_in_executor(
-            None, self.engine.step, tokens, lengths, sample_mask,
+            self._device_pool, self.engine.step, tokens, lengths,
+            sample_mask,
             want_logits)
         self.metrics["steps"] += 1
         self.metrics["step_seconds"] += time.monotonic() - t0
@@ -793,7 +807,7 @@ class Runtime:
                 host_first = (hmask, hvals)
         t0 = time.monotonic()
         toks_seq, _sp = await loop.run_in_executor(
-            None, lambda: self.engine.decode_chunk(
+            self._device_pool, lambda: self.engine.decode_chunk(
                 first, mask, K, sync=False, host_first=host_first,
                 budget=budget))
         self.metrics["launch_s"] = self.metrics.get(
@@ -860,7 +874,7 @@ class Runtime:
             self._spec = newspec
         t0 = time.monotonic()
         toks_seq = await loop.run_in_executor(
-            None, np.asarray, spec["toks"])
+            self._device_pool, np.asarray, spec["toks"])
         self.metrics["steps"] += 1
         # Blocking time only: launch-to-consume spans overlap other work
         # (that's the point of the pipeline) and would double-count.
@@ -922,7 +936,8 @@ class Runtime:
                 if in_successor:
                     self.metrics["rollbacks"] += 1
                     await loop.run_in_executor(
-                        None, self.engine.rollback_row, b, [], -1)
+                        self._device_pool,
+                        self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, FinishReason.ABORT)
                 continue
             for j, token in enumerate(row):
@@ -937,7 +952,8 @@ class Runtime:
                 if in_successor:
                     self.metrics["rollbacks"] += 1
                     await loop.run_in_executor(
-                        None, self.engine.rollback_row, b, [], -1)
+                        self._device_pool,
+                        self.engine.rollback_row, b, [], -1)
                 await self._finalize(s, reason)
                 break
         self._spec = newspec
@@ -970,7 +986,8 @@ class Runtime:
                 newspec["dead"].add(b)
                 self.metrics["rollbacks"] += 1
                 await loop.run_in_executor(
-                    None, self.engine.rollback_row, b, [], -1)
+                    self._device_pool,
+                    self.engine.rollback_row, b, [], -1)
             await self._finalize(s, reason)
             return
 
@@ -990,16 +1007,17 @@ class Runtime:
             depth = -2 if newspec is not None else -1
             feed = ctx.all_tokens[-(acc + 1):-1]
             await loop.run_in_executor(
-                None, self.engine.rollback_row, b, feed, depth)
+                self._device_pool,
+                self.engine.rollback_row, b, feed, depth)
             await loop.run_in_executor(
-                None, self._rebuild_sampler_state, b, ctx)
+                self._device_pool, self._rebuild_sampler_state, b, ctx)
         elif newspec is not None and b in newspec["dead"]:
             # State is exactly post-chunk, but the successor advanced it:
             # restore the post-chunk row and rebuild the sampler state.
             await loop.run_in_executor(
-                None, self.engine.rollback_row, b, [], -1)
+                self._device_pool, self.engine.rollback_row, b, [], -1)
             await loop.run_in_executor(
-                None, self._rebuild_sampler_state, b, ctx)
+                self._device_pool, self._rebuild_sampler_state, b, ctx)
         ctx.bnf_mask = new_mask
         ctx.bnf_dirty = False
         ctx.bnf_sticky = 0
@@ -1224,7 +1242,8 @@ class Runtime:
                 ctx.prefill_cached = True
                 loop = asyncio.get_event_loop()
                 row = await loop.run_in_executor(
-                    None, self.engine.read_row_state_device, b)
+                    self._device_pool, self.engine.read_row_state_device,
+                    b)
                 cache = self.cache_for(ctx.state_id)
                 lazy = ctx.prefill_logits
 
