@@ -176,28 +176,41 @@ def build_ivf(data: np.ndarray, nlist: int = 64, iters: int = 10,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
-               pscale=None):
-    """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit.
-    ``pscale`` dequantizes int8-coded clusters on the score accumulator
-    (one multiply per candidate, not per element).
-
-    Probes are scanned one at a time so the candidate gather is
-    (Q, cap, D) per step, never (Q, nprobe, cap, D) — at the 10M-vector
-    north star (cap~2.8k, D=1024, Q=64, nprobe=32) the all-at-once
-    gather would be ~6 GB next to the ~12 GB resident index."""
+def _ivf_probe(centroids, queries, nprobe):
     q = queries.astype(jnp.float32)
     cscore = q @ centroids.T                       # (Q, nlist)
     _, probe = jax.lax.top_k(cscore, nprobe)       # (Q, nprobe)
+    return q, probe
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search_xla(centroids, packed, packed_ids, queries, k=10, nprobe=8,
+                    pscale=None):
+    """Portable IVF probe: scan over probe ranks, candidates fetched as a
+    ROW gather from the (nlist*cap, D)-flattened index.
+
+    The round-4 version gathered (1, cap, D)-sized slices from the 3-D
+    index inside the scan; XLA's TPU lowering of that materialized a full
+    11 GB ``copy(packed)`` plus seven 1 GB window temps and OOM'd at the
+    10M north star (BENCH_r04.json).  Flat row gathers (slice = one
+    D-row, the embedding-lookup pattern) compile to 1.6 GB of temps —
+    but execute latency-bound on TPU (~1.1k QPS); the Pallas kernel
+    below is the production TPU path, this is the CPU/odd-shape
+    fallback."""
+    q, probe = _ivf_probe(centroids, queries, nprobe)
     dt = jnp.bfloat16 if packed.dtype == jnp.int8 else jnp.float32
     qd = q.astype(dt)
     Q = q.shape[0]
-    kk = min(k, packed.shape[1])
+    nlist, cap, D = packed.shape
+    kk = min(k, cap)
+    flat = packed.reshape(nlist * cap, D)          # bitcast, no copy
+    col = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
     def body(carry, pcol):                         # pcol: (Q,) clusters
         best_s, best_i = carry
-        cand = packed[pcol]                        # (Q, cap, D)
+        rows = pcol[:, None] * cap + col           # (Q, cap)
+        cand = jnp.take(flat, rows.reshape(-1),
+                        axis=0).reshape(Q, cap, D)
         ids = packed_ids[pcol]                     # (Q, cap)
         s = jnp.einsum("qd,qcd->qc", qd, cand.astype(dt),
                        preferred_element_type=jnp.float32)
@@ -215,6 +228,87 @@ def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
             jnp.full((Q, k), -1, jnp.int32))
     (scores, ids), _ = jax.lax.scan(body, init, probe.T)
     return scores, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
+def _ivf_search_pallas(centroids, packed, packed_ids, queries, k=10,
+                       nprobe=8, pscale=None, interpret=False):
+    """TPU IVF probe as a Pallas scalar-prefetch kernel.
+
+    Grid = (Q, nprobe); the prefetched probe table steers each step's
+    BlockSpec at the cluster picked for (query, rank), so the only data
+    movement is ``Q*nprobe`` contiguous (cap, D) cluster blocks DMA'd
+    HBM->VMEM (double-buffered by the pipeline) and scored on the MXU —
+    the gather never exists as an HLO op, which is what made the XLA
+    lowering blow up (11 GB copy + 1 GB window temps, BENCH_r04).
+    Scores land in a dense (Q, nprobe, cap) table; top-k runs in XLA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, probe = _ivf_probe(centroids, queries, nprobe)
+    Q, D = q.shape
+    nlist, cap, _ = packed.shape
+    if pscale is None:
+        pscale = jnp.ones((nlist, cap), jnp.float32)
+    qd = q.astype(jnp.bfloat16)
+
+    def kernel(probe_ref, q_ref, blk_ref, ids_ref, ps_ref, s_out, i_out):
+        qv = q_ref[...]                            # (1, D) bf16
+        blk = blk_ref[0]                           # (cap, D)
+        s = jax.lax.dot_general(
+            qv, blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (1, cap)
+        ids = ids_ref[...]                         # (1, cap)
+        s = s * ps_ref[...]
+        s = jnp.where(ids >= 0, s, jnp.float32(-jnp.inf))
+        s_out[0] = s
+        i_out[0] = ids
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Q, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, D), lambda qi, r, pr: (qi, 0)),
+            pl.BlockSpec((1, cap, D), lambda qi, r, pr: (pr[qi, r], 0, 0)),
+            pl.BlockSpec((1, cap), lambda qi, r, pr: (pr[qi, r], 0)),
+            pl.BlockSpec((1, cap), lambda qi, r, pr: (pr[qi, r], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (qi, r, 0)),
+            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (qi, r, 0)),
+        ],
+    )
+    scores, ids = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((Q, nprobe, cap), jnp.float32),
+                   jax.ShapeDtypeStruct((Q, nprobe, cap), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(probe.astype(jnp.int32), qd, packed, packed_ids, pscale)
+    top, pos = jax.lax.top_k(scores.reshape(Q, nprobe * cap), k)
+    out_i = jnp.take_along_axis(ids.reshape(Q, nprobe * cap), pos, axis=1)
+    return top, jnp.where(jnp.isfinite(top), out_i, -1)
+
+
+def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
+               pscale=None):
+    """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit.
+    ``pscale`` dequantizes int8-coded clusters on the score accumulator
+    (one multiply per candidate, not per element).
+
+    Dispatch: the Pallas scalar-prefetch kernel on TPU when the packed
+    layout is tile-aligned (cap % 128 == 0 for int8 blocks and the id
+    lane dim, D % 128 == 0); the XLA row-gather scan otherwise (CPU
+    tests, toy shapes)."""
+    nlist, cap, D = packed.shape
+    if (jax.default_backend() == "tpu" and cap % 128 == 0
+            and D % 128 == 0):
+        return _ivf_search_pallas(centroids, packed, packed_ids, queries,
+                                  k=k, nprobe=nprobe, pscale=pscale)
+    return _ivf_search_xla(centroids, packed, packed_ids, queries,
+                           k=k, nprobe=nprobe, pscale=pscale)
 
 
 class StreamedIVFBuilder:

@@ -65,6 +65,50 @@ def _emit(obj, err=False):
     print(json.dumps(obj), file=sys.stderr if err else sys.stdout, flush=True)
 
 
+def _short_err(e, limit=300):
+    """Exception -> capped one-line string.  XLA OOM messages run to tens
+    of KB (the round-4 artifact died embedding one verbatim); the full
+    traceback still goes to stderr — the artifact only needs the head."""
+    msg = " ".join(str(e).split())
+    if len(msg) > limit:
+        msg = msg[:limit] + "...[truncated]"
+    return f"{type(e).__name__}: {msg}"
+
+
+_MAX_LINE = 4000  # hard cap for the final stdout line the driver records
+
+
+def _cap_suite_line(suite: dict) -> dict:
+    """Ensure the aggregate serializes under _MAX_LINE bytes: first cap
+    every error string hard, then drop per-part detail fields, keeping
+    the headline numbers."""
+    out = json.loads(json.dumps(suite))  # deep copy, JSON-safe
+
+    def cap_errors(d, limit):
+        for v in d.values():
+            if isinstance(v, dict):
+                if isinstance(v.get("error"), str) and len(v["error"]) > limit:
+                    v["error"] = v["error"][:limit] + "...[truncated]"
+                cap_errors(v, limit)
+
+    for limit in (300, 120, 60):
+        cap_errors(out, limit)
+        if len(json.dumps(out)) <= _MAX_LINE:
+            return out
+    # Still too big: keep only scalar fields per part.
+    for k, v in list(out.items()):
+        if isinstance(v, dict):
+            out[k] = {kk: vv for kk, vv in v.items()
+                      if isinstance(vv, (int, float, str, bool, type(None)))
+                      and len(str(vv)) <= 80}
+    if len(json.dumps(out)) > _MAX_LINE:
+        out = {"truncated": True,
+               "parts": {k: ("error" if isinstance(v, dict) and "error" in v
+                             else "ok")
+                         for k, v in out.items() if isinstance(v, dict)}}
+    return out
+
+
 def build_model(num_layer, num_emb, head_size, num_vocab, dtype,
                 quant=None, version=None):
     """Random weights at production shape, generated ON DEVICE (the bench
@@ -494,13 +538,17 @@ def _emit_headline(suite: dict):
             break
     if headline is None:
         headline = ("suite_failed", 0.0)
-    _emit({
+    line = {
         "metric": headline[0],
         "value": headline[1],
         "unit": "tok/s",
         "vs_baseline": round(headline[1] / BASELINE_TOK_S, 2),
-        "suite": suite,
-    })
+        "suite": _cap_suite_line(suite),
+    }
+    if len(json.dumps(line)) > _MAX_LINE + 500:
+        # belt-and-suspenders: the aggregate line must stay parseable
+        line["suite"] = {"truncated": True}
+    _emit(line)
 
 
 def run_parts():
@@ -524,7 +572,7 @@ def run_parts():
         _emit({"part": name, **data})
 
     def fail(name, e):
-        suite[name] = {"error": f"{type(e).__name__}: {e}"}
+        suite[name] = {"error": _short_err(e)}
         _emit({"part": name, "error": suite[name]["error"]})
         traceback.print_exc(file=sys.stderr)
 
@@ -764,6 +812,7 @@ def bench_ivf(emit=True):
     mean = N / nlist
     cap = int(os.environ.get(
         "BENCH_RET_CAP", str(int(mean + 8.0 * np.sqrt(mean) + 16))))
+    cap = -(-cap // 128) * 128  # tile-align: enables the Pallas probe
 
     t0 = time.time()
     builder = R.StreamedIVFBuilder(cent, cap=cap, dim=D)

@@ -62,6 +62,32 @@ def test_ivf_recall():
         for i in range(len(q))]) >= 0.95
 
 
+def test_ivf_pallas_matches_xla_interpret():
+    """The TPU probe path is the Pallas scalar-prefetch kernel
+    (retrieval._ivf_search_pallas); CPU tests never take that dispatch
+    branch, so pin its parity against the XLA scan here via interpret
+    mode, at a tile-aligned (cap % 128 == 0) int8 layout like the one
+    bench_ivf builds."""
+    rng = np.random.default_rng(3)
+    N, D, nlist = 8192, 128, 16
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    idx = R.build_ivf(data, nlist=nlist, iters=5, quant="int8")
+    cap = -(-idx.cap // 128) * 128
+    packed = jnp.zeros((nlist, cap, D), jnp.int8).at[:, :idx.cap].set(
+        idx.packed)
+    pids = jnp.full((nlist, cap), -1, jnp.int32).at[:, :idx.cap].set(
+        idx.packed_ids)
+    ps = jnp.zeros((nlist, cap), jnp.float32).at[:, :idx.cap].set(idx.pscale)
+    q = jnp.asarray(rng.standard_normal((8, D)).astype(np.float32))
+    s1, i1 = R._ivf_search_xla(idx.centroids, packed, pids, q,
+                               k=10, nprobe=4, pscale=ps)
+    s2, i2 = R._ivf_search_pallas(idx.centroids, packed, pids, q,
+                                  k=10, nprobe=4, pscale=ps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_store_roundtrip():
     store = RetrievalStore()
     store.create("docs", 16)
