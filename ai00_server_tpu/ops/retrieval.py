@@ -250,43 +250,48 @@ def _ivf_search_pallas(centroids, packed, packed_ids, queries, k=10,
     nlist, cap, _ = packed.shape
     if pscale is None:
         pscale = jnp.ones((nlist, cap), jnp.float32)
-    qd = q.astype(jnp.bfloat16)
+    # Mosaic requires each of the last two block dims to be divisible by
+    # (8, 128) OR equal to the array dim; a unit middle axis makes every
+    # per-(query, probe) row block exactly array-sized in the sublane dim.
+    qd = q.astype(jnp.bfloat16).reshape(Q, 1, D)
+    ids3 = packed_ids.reshape(nlist, 1, cap)
+    ps3 = pscale.reshape(nlist, 1, cap)
 
     def kernel(probe_ref, q_ref, blk_ref, ids_ref, ps_ref, s_out, i_out):
-        qv = q_ref[...]                            # (1, D) bf16
+        qv = q_ref[0]                              # (1, D) bf16
         blk = blk_ref[0]                           # (cap, D)
         s = jax.lax.dot_general(
             qv, blk.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # (1, cap)
-        ids = ids_ref[...]                         # (1, cap)
-        s = s * ps_ref[...]
+        ids = ids_ref[0]                           # (1, cap)
+        s = s * ps_ref[0]
         s = jnp.where(ids >= 0, s, jnp.float32(-jnp.inf))
-        s_out[0] = s
-        i_out[0] = ids
+        s_out[0, 0] = s
+        i_out[0, 0] = ids
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Q, nprobe),
         in_specs=[
-            pl.BlockSpec((1, D), lambda qi, r, pr: (qi, 0)),
+            pl.BlockSpec((1, 1, D), lambda qi, r, pr: (qi, 0, 0)),
             pl.BlockSpec((1, cap, D), lambda qi, r, pr: (pr[qi, r], 0, 0)),
-            pl.BlockSpec((1, cap), lambda qi, r, pr: (pr[qi, r], 0)),
-            pl.BlockSpec((1, cap), lambda qi, r, pr: (pr[qi, r], 0)),
+            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (pr[qi, r], 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (pr[qi, r], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (qi, r, 0)),
-            pl.BlockSpec((1, 1, cap), lambda qi, r, pr: (qi, r, 0)),
+            pl.BlockSpec((1, 1, 1, cap), lambda qi, r, pr: (qi, r, 0, 0)),
+            pl.BlockSpec((1, 1, 1, cap), lambda qi, r, pr: (qi, r, 0, 0)),
         ],
     )
     scores, ids = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Q, nprobe, cap), jnp.float32),
-                   jax.ShapeDtypeStruct((Q, nprobe, cap), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((Q, nprobe, 1, cap), jnp.float32),
+                   jax.ShapeDtypeStruct((Q, nprobe, 1, cap), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(probe.astype(jnp.int32), qd, packed, packed_ids, pscale)
+    )(probe.astype(jnp.int32), qd, packed, ids3, ps3)
     top, pos = jax.lax.top_k(scores.reshape(Q, nprobe * cap), k)
     out_i = jnp.take_along_axis(ids.reshape(Q, nprobe * cap), pos, axis=1)
     return top, jnp.where(jnp.isfinite(top), out_i, -1)
@@ -318,14 +323,19 @@ class StreamedIVFBuilder:
     jit so ``packed`` (the ~12 GB index at the 10M north star) is
     updated in place.
 
-    ``cap`` is fixed up front (static shapes); rows landing in a full
-    cluster are dropped and counted (``dropped``).  For uniform random
-    data ``cap = mean + 8*sigma`` makes drops vanishingly rare."""
+    ``cap`` is fixed up front (static shapes); a row landing in a full
+    cluster SPILLS to its next-nearest centroid with space (``spill``
+    candidate clusters per row, default 3) — clustered data overflows
+    fixed caps on exactly the dense clusters that hold everyone's
+    neighbors, and a dropped vector is unfindable forever, while a
+    spilled one is found whenever its spill cluster is probed.  Rows
+    exhausting every candidate are dropped and counted (``dropped``)."""
 
-    def __init__(self, centroids, cap: int, dim: int):
+    def __init__(self, centroids, cap: int, dim: int, spill: int = 3):
         self.centroids = centroids.astype(jnp.float32)
         nlist = centroids.shape[0]
         self.nlist, self.cap, self.dim = nlist, cap, dim
+        self.spill = max(1, min(spill, nlist))
         self.packed = jnp.zeros((nlist, cap, dim), jnp.int8)
         self.packed_ids = jnp.full((nlist, cap), -1, jnp.int32)
         self.pscale = jnp.zeros((nlist, cap), jnp.float32)
@@ -335,33 +345,41 @@ class StreamedIVFBuilder:
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4))
 
     def _step_impl(self, packed, pids, pscale, fill, dropped, x, base):
-        cap = self.cap
+        cap, nlist = self.cap, self.nlist
         xf = x.astype(jnp.float32)
         d2 = self._c2[None, :] - 2.0 * (xf @ self.centroids.T)
-        a = jnp.argmin(d2, -1).astype(jnp.int32)
-        n = a.shape[0]
+        _, cand = jax.lax.top_k(-d2, self.spill)   # (n, spill) nearest
+        cand = cand.astype(jnp.int32)
+        n = cand.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
-        # Rank of each row within its cluster inside this chunk: sort by
-        # cluster, then position-since-run-start via a running max over
-        # run-start indices.
-        order = jnp.argsort(a)
-        sa = a[order]
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
-        run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, idx, 0))
-        rank = jnp.zeros_like(a).at[order].set(idx - run_start)
-        pos = fill[a] + rank
-        ok = pos < cap
-        pos_w = jnp.where(ok, pos, cap)        # cap = OOB -> mode="drop"
         scale = jnp.maximum(jnp.abs(xf).max(-1), 1e-12) / 127.0
         codes = jnp.clip(jnp.round(xf / scale[:, None]),
                          -127, 127).astype(jnp.int8)
-        packed = packed.at[a, pos_w].set(codes, mode="drop")
-        pids = pids.at[a, pos_w].set(base + idx, mode="drop")
-        pscale = pscale.at[a, pos_w].set(scale, mode="drop")
-        fill = fill + jnp.zeros_like(fill).at[a].add(1)
-        dropped = dropped + (~ok).sum().astype(jnp.int32)
+        placed = jnp.zeros(n, bool)
+        for p in range(self.spill):
+            # Cluster for this pass; already-placed rows get an OOB
+            # sentinel so every scatter drops them (mode="drop").
+            a = jnp.where(placed, nlist, cand[:, p])
+            # Rank of each still-unplaced row within its cluster inside
+            # this chunk: sort by cluster, then position-since-run-start
+            # via a running max over run-start indices.
+            order = jnp.argsort(a)
+            sa = a[order]
+            is_start = jnp.concatenate(
+                [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
+            run_start = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(is_start, idx, 0))
+            rank = jnp.zeros_like(a).at[order].set(idx - run_start)
+            pos = fill[jnp.minimum(a, nlist - 1)] + rank
+            ok = (pos < cap) & ~placed
+            pos_w = jnp.where(ok, pos, cap)    # cap = OOB -> mode="drop"
+            packed = packed.at[a, pos_w].set(codes, mode="drop")
+            pids = pids.at[a, pos_w].set(base + idx, mode="drop")
+            pscale = pscale.at[a, pos_w].set(scale, mode="drop")
+            fill = fill + jnp.zeros_like(fill).at[a].add(
+                ok.astype(jnp.int32), mode="drop")
+            placed = placed | ok
+        dropped = dropped + (~placed).sum().astype(jnp.int32)
         return packed, pids, pscale, fill, dropped
 
     def add(self, x, base_id: int):

@@ -707,12 +707,19 @@ class Runtime:
         ~1 ms cached / ~100 ms first-visit native mask computation runs
         off the event loop)."""
         ctx = slot.ctx
-        if ctx.formatter is None or not ctx.bnf_dirty:
+        if ctx.formatter is None:
             return
+        # Collect any in-flight mask-ahead BEFORE the dirty check: nothing
+        # downstream (the chunk replay advances the grammar on another
+        # executor thread) may ever run while an allowed_mask() is pending
+        # on this formatter — the grammar engine is not thread-safe.
+        mask = None
         if ctx.bnf_future is not None:
             mask = await ctx.bnf_future       # mask-ahead result
             ctx.bnf_future = None
-        else:
+        if not ctx.bnf_dirty:
+            return
+        if mask is None:
             mask = await loop.run_in_executor(
                 None, ctx.formatter.allowed_mask)
         ctx.bnf_dirty = False
@@ -893,6 +900,14 @@ class Runtime:
                     if c.formatter is not None and s.index not in dead
                     and not c.handle.aborted]
         if bnf_live:
+            # Belt-and-suspenders: no replay may touch a formatter while a
+            # mask-ahead future is still in flight (every chunk entry path
+            # collects it in _refresh_bnf_mask, but the grammar engine
+            # corrupts state on concurrent access, so enforce it here too).
+            for _, c in bnf_live:
+                if c.bnf_future is not None:
+                    await c.bnf_future
+                    c.bnf_future = None
 
             def _replay(ctx, toks):
                 acc, halted, new_mask = 0, False, None

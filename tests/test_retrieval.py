@@ -239,6 +239,38 @@ def test_streamed_builder_matches_host_build():
     assert recall1 >= 0.9, recall1
 
 
+def test_streamed_builder_spills_instead_of_dropping():
+    """When a cluster overflows its fixed cap, rows spill to the
+    next-nearest centroid with space instead of being dropped (dropped
+    vectors are unfindable forever; spilled ones are found whenever the
+    spill cluster is probed)."""
+    rng = np.random.default_rng(5)
+    # All 256 rows near ONE mode -> one cluster wants everything.
+    mode = rng.standard_normal(64).astype(np.float32)
+    x = mode + 0.05 * rng.standard_normal((256, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    cent = R.kmeans_blocked(jax.random.PRNGKey(1),
+                            jnp.asarray(x), nlist=8, iters=4, blk=256)
+    builder = R.StreamedIVFBuilder(cent, cap=64, dim=64, spill=8)
+    for i in range(0, 256, 128):
+        builder.add(jnp.asarray(x[i:i + 128]), i)
+    ivf = builder.finish()
+    # 8 clusters x cap 64 = 512 slots >= 256 rows: zero drops required.
+    assert int(builder.dropped) == 0
+    ids = np.asarray(ivf.packed_ids)
+    np.testing.assert_array_equal(np.sort(ids[ids >= 0]), np.arange(256))
+    # Full-probe search still finds every vector (spilled rows score
+    # identically; they just live in a different list).
+    q = x[:16]
+    _, hits = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids,
+                           jnp.asarray(q), k=5, nprobe=8,
+                           pscale=ivf.pscale)
+    hits = np.asarray(hits)
+    # Top-5 membership (not strict top-1): this corpus is one tight mode
+    # (sibling cosine ~0.999), where int8 coding error can reorder ranks.
+    assert all(r in hits[r] for r in range(16))
+
+
 def test_exact_search_chunked_matches_whole():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((5000, 64)).astype(np.float32)
