@@ -39,12 +39,19 @@ from .ops import sampling
 def head_logits(params, x):
     """``x @ head -> (…, V) f32 logits``.
 
-    Quantized head (``head_q``, installed by Engine.__init__ for
-    quantized models): per-128-row-block einsum with the int8->bf16
-    convert fused into the dot's operand load and the scales applied to
-    the f32 accumulator — f32 logit precision is preserved (the scales
-    multiply the accumulator, never the codes)."""
-    hq = params.get("head_q")
+    Quantized head (``_head_q``, installed by Engine.__init__ for
+    quantized models; ``head_q`` accepted for prefabs exported before
+    the key became derived): per-128-row-block matmul with f32
+    accumulation.  The Pallas decode kernel (matmul_int8) converts
+    codes to the activation dtype and multiplies by the per-block scale
+    before the dot, so bf16 activations add one bf16 rounding of
+    (code*scale) on top of int8 quantization error; the phased
+    whole-layer kernels apply scales on the f32 accumulator instead.
+    Measured logits delta vs bf16 head is dominated by the int8
+    quantization itself either way."""
+    hq = params.get("_head_q")
+    if hq is None:
+        hq = params.get("head_q")
     if hq is None:
         return jnp.dot(x, params["head"].astype(x.dtype),
                        preferred_element_type=jnp.float32)
@@ -122,7 +129,8 @@ class Engine:
         # head costs the same relative bandwidth; this is the TPU build's
         # decode-bandwidth design, documented in docs/decode-paths.md.)
         head_env = os.environ.get("AI00_QUANT_HEAD", "auto")
-        if mesh is None and "head_q" not in model.params \
+        if mesh is None and "_head_q" not in model.params \
+                and "head_q" not in model.params \
                 and "head" in model.params and head_env != "off" \
                 and model.params["head"].shape[0] % quant_mod.INT8_BLOCK == 0:
             has_quant = model.surrogate_modes is not None or any(
@@ -134,8 +142,19 @@ class Engine:
             if head_env == "on" or (
                     has_quant
                     and jax.default_backend() in ("tpu", "axon")):
-                model.params["head_q"] = quant_mod.quantize_int8_jax(
-                    model.params.pop("head"))
+                # Derived "_"-prefixed key: prefab export strips it and
+                # serializes the lossless bf16 head preserved on host
+                # (LoadedModel.host_params), so AI00_QUANT_HEAD=off on a
+                # re-exported prefab and mesh sharding (param_specs needs
+                # "head") keep working.  The bf16 copy lives in HOST RAM
+                # only — never in the jit arg pytree (that would re-upload
+                # 0.5 GB per step at 7B).
+                head = model.params.pop("head")
+                if model.host_params is None:
+                    model.host_params = {}
+                model.host_params.setdefault("head", np.asarray(head))
+                model.params["_head_q"] = quant_mod.quantize_int8_jax(head)
+                del head
 
         B, V = self.max_batch, self.vocab
         self.state_pool = self.module.init_state(self.info, B, state_dtype)
@@ -143,6 +162,13 @@ class Engine:
         self.sampler_params_host = sampling.make_params(B)
         self.bias_pool = jnp.zeros((B, V), jnp.float32)
         self.mask_pool = jnp.ones((B, V), jnp.bool_)
+        # Per-row running sum of final hidden states over every VALID
+        # position fed through step() since the row was (re)loaded.
+        # Costs one fused (B,T,C)->(B,C) reduction inside the serving
+        # step; read by mean-hidden /embeddings so an embed request is
+        # ONE prefill, not prefill + a dedicated re-forward
+        # (read_row_hidden_sum).
+        self.hsum_pool = jnp.zeros((B, self.info.num_emb), jnp.float32)
 
         if mesh is None or int(mesh.shape.get("tp", 1)) == 1:
             # Install the fused decode layout (the small per-channel
@@ -195,6 +221,8 @@ class Engine:
                 self.bias_pool, NamedSharding(mesh, P("dp", None)))
             self.mask_pool = jax.device_put(
                 self.mask_pool, NamedSharding(mesh, P("dp", None)))
+            self.hsum_pool = jax.device_put(
+                self.hsum_pool, NamedSharding(mesh, P("dp", None)))
         self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
         self.bias_active = np.zeros(B, np.bool_)  # rows with a logit bias
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
@@ -298,6 +326,18 @@ class Engine:
             row_state = self.fresh_row_state()
         self.state_pool = self._write_row(
             self.state_pool, row_state, jnp.int32(b))
+        self.hsum_pool = _zero_row(self.hsum_pool, jnp.int32(b))
+
+    def read_row_hidden_sum(self, b: int) -> np.ndarray:
+        """Row b's running masked hidden-state sum (f32, C) accumulated
+        by step() since load_row_state — divide by the fed token count
+        for the mean-hidden embedding.  Valid only when the row's FULL
+        prompt was fed through step() from a fresh state (no prefix
+        reuse); the runtime guarantees that for pooled embed requests."""
+        with self._lock:
+            v = jax.lax.dynamic_index_in_dim(
+                self.hsum_pool, jnp.int32(b), 0, keepdims=False)
+        return np.asarray(v)
 
     def read_row_state(self, b: int):
         """Device->host copy of row b's state as a batch-1 pytree."""
@@ -374,9 +414,12 @@ class Engine:
         eval_embed_quality.py, BASELINE.md); every position contributing
         equally carries the whole passage.  Runs a dedicated batch-1
         chunked forward off the state pool (chunk-size-bucketed, one
-        compile); the serving prefill's own hidden states are not
-        captured today — folding this accumulation into the serving
-        step would halve the embed cost."""
+        compile).  The SERVING path no longer calls this: step()
+        accumulates the same masked hidden sums per row (hsum_pool) and
+        /embeddings reads them after its own prefill
+        (read_row_hidden_sum), so an embed costs one forward and
+        batches across slots; this method remains the reference recipe
+        (tests, tools/eval_embed_quality.py) and the offline API."""
         chunk = int(chunk or self.token_chunk_size)
         state = self.fresh_row_state()
         params = self.model.params
@@ -491,14 +534,22 @@ class Engine:
             module_forward = self._forward
             kinds, k_cap = skey
 
-            @functools.partial(jax.jit, donate_argnums=(1, 2),
-                               static_argnums=(10,))
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 10),
+                               static_argnums=(11,))
             def step(params, state, sampler_state, tokens, lengths,
-                     sample_mask, sparams, bias, mask, rng, ret_logits):
+                     sample_mask, sparams, bias, mask, rng, hsum,
+                     ret_logits):
                 hidden, new_state = module_forward(
                     params, state, tokens, lengths)
                 last = take_last_valid(hidden, lengths)  # (B, C)
                 logits = head_logits(params, last)
+                # Masked hidden-sum accumulation (mean-hidden embeddings
+                # read this; reset per row at load_row_state).  lengths
+                # is 0 for idle rows, so they accumulate nothing.
+                pos = jnp.arange(tokens.shape[1])[None, :, None]
+                new_hsum = hsum + jnp.sum(
+                    hidden.astype(jnp.float32)
+                    * (pos < lengths[:, None, None]), axis=1)
                 rand = jax.random.uniform(
                     rng, (tokens.shape[0],), jnp.float32)
                 toks, sp, new_ss = sampling.sample_with_rand(
@@ -511,7 +562,7 @@ class Engine:
                         new, old),
                     new_ss, sampler_state)
                 out_logits = logits if ret_logits else None
-                return toks, sp, new_state, new_ss, out_logits
+                return toks, sp, new_state, new_ss, new_hsum, out_logits
 
             fn = step
             self._steps[key] = fn
@@ -533,12 +584,14 @@ class Engine:
             self._rng, sub = jax.random.split(self._rng)
             fn = self._get_step(T, want_logits, self._sampler_key())
             sparams = self._sparams()
-            toks, sp, self.state_pool, self.sampler_state, logits = fn(
+            (toks, sp, self.state_pool, self.sampler_state,
+             self.hsum_pool, logits) = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 jnp.asarray(tokens, jnp.int32),
                 jnp.asarray(lengths, jnp.int32),
                 jnp.asarray(sample_mask, jnp.bool_),
-                sparams, self.bias_pool, self.mask_pool, sub, want_logits)
+                sparams, self.bias_pool, self.mask_pool, sub,
+                self.hsum_pool, want_logits)
             return StepResult(
                 tokens=np.asarray(toks),
                 sampled_probs=np.asarray(sp),
@@ -904,6 +957,12 @@ def _sample_only_jit(rng, row, b, B, sparams, sampler_state, bias, mask,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _set_pool_row(pool, vec, b):
     return jax.lax.dynamic_update_index_in_dim(pool, vec.astype(pool.dtype), b, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _zero_row(pool, b):
+    return jax.lax.dynamic_update_index_in_dim(
+        pool, jnp.zeros(pool.shape[1:], pool.dtype), b, 0)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

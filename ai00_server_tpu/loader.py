@@ -231,6 +231,11 @@ class LoadedModel:
     # engine converted to int8 SURROGATE codes for decode speed
     # (ops/quant.use_int8_surrogate); prefab export repacks them.
     surrogate_modes: dict | None = None
+    # Host-RAM originals of top-level params the engine replaced with a
+    # derived ("_"-prefixed) device form — e.g. the lossless bf16 LM
+    # head when decode runs through "_head_q".  Prefab export merges
+    # these back so nothing lossy is ever baked into a saved prefab.
+    host_params: dict | None = None
 
 
 def load_model(

@@ -99,10 +99,12 @@ def pick_na(C, F, H, N, batch, esize, version="V6",
     but with EIGHT double-buffered weight windows (five C x C att
     projections + three channel-mix matrices)."""
     hc = min(HEAD_GROUP, H)
-    # Per-layer smalls (double-buffered): mixes/ln in model dtype, vecs
-    # f32, plus the v6 maa/decay loras (12 arrays of C x 8-ish).
-    lora = int(12 * (C * 8 + 8 * C) * esize) if version == "V6" else 0
-    smalls = int(2 * ((6 * C + 4 * C) * esize + 6 * C * 4 + lora))
+    # Per-layer smalls (double-buffered): mixes/ln/loras stay in MODEL
+    # dtype (2 bytes) regardless of big-projection quantization (esize
+    # covers only the weight windows), vecs f32, plus the v6 maa/decay
+    # loras (12 arrays of C x 8-ish).
+    lora = int(12 * (C * 8 + 8 * C) * 2) if version == "V6" else 0
+    smalls = int(2 * ((6 * C + 4 * C) * 2 + 6 * C * 4 + lora))
     # 13 (B, C) + (B, F) + mono transposed staging (6 C-sized +
     # fxkT C-sized + hkT F-sized slabs).
     scratch = (13 * batch * C + batch * F

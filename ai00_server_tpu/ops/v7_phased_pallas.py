@@ -86,8 +86,12 @@ def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
     4x-buffered per-head-group wkv windows, double-buffered per-layer
     smalls, f32 scratch."""
     hc = min(HEAD_GROUP, H)
-    smalls = int(2 * ((6 * C + 4 * C + C) * esize + (8 * C + 4 * C) * 4
-                      + 8 * C * 128 * esize))
+    # Smalls (token-shift mixes/ln/lora staging) stay in MODEL dtype
+    # (2 bytes) regardless of big-projection quantization — budgeting
+    # them at esize under-counts VMEM for int8/int4 and a geometry near
+    # the budget would pick an na whose real footprint fails Mosaic.
+    smalls = int(2 * ((6 * C + 4 * C + C) * 2 + (8 * C + 4 * C) * 4
+                      + 8 * C * 128 * 2))
     # 12 (B, C) + (B, F) + aux (5, B, C) + mono transposed staging
     # (4 C-sized + fxkT C-sized + hkT F-sized slabs).
     scratch = (12 * batch * C + batch * F + 5 * batch * C

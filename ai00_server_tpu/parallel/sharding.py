@@ -74,6 +74,13 @@ def param_specs(params) -> dict:
                 _leaf_spec, group["layers"]),
         }
 
+    if "head" not in params:
+        raise ValueError(
+            "params have no 'head' (a prefab exported by a pre-r5 build "
+            "baked the int8 'head_q' in place of it); re-export the "
+            "prefab from the source checkpoint, or load with "
+            "AI00_QUANT_HEAD=off from the original file, to serve on a "
+            "mesh")
     specs = {
         "emb": P(),
         "groups": [group_specs(g) for g in params["groups"]],

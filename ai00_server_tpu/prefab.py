@@ -84,6 +84,12 @@ def save_prefab(path: str, model: LoadedModel, config: dict | None = None
     # load; never serialize them.
     params = {k: v for k, v in model.params.items()
               if not k.startswith("_")}
+    # Lossless host-side originals of params the engine moved to derived
+    # device forms (e.g. bf16 "head" for "_head_q") go back in the
+    # export, so a re-exported prefab is as good as the source file.
+    for k, v in (model.host_params or {}).items():
+        if k not in params:
+            params[k] = v
     if model.surrogate_modes:
         # Leaves the engine converted to int8 SURROGATE codes for decode
         # (ops/quant.use_int8_surrogate) repack LOSSLESSLY to their

@@ -108,6 +108,16 @@ class GenerateRequest:
     # of the full state (the /embeddings fast path — ~3C floats cross
     # the host boundary instead of the multi-MB state pytree).
     pooled: bool = False
+    # Pooled readout: "mean_hidden" (C dims, masked mean of final hidden
+    # states — the retrieval-grade default) or "state" (3C dims, pooled
+    # full-state readout — the readout that reflects a CUSTOM initial
+    # state's influence).  None = mean_hidden without a state_id, state
+    # with one (the historical keying, kept for back-compat).
+    pooling: Optional[str] = None
+
+    def effective_pooling(self) -> str:
+        return self.pooling or (
+            "state" if self.state_id else "mean_hidden")
 
 
 class FinishReason(str, Enum):
@@ -1102,8 +1112,23 @@ class Runtime:
         b = slot.index
         exact_item: CachedItem | None = None
 
+        # Mean-hidden embeds read the step()-accumulated hidden sums, so
+        # their FULL prompt must run through step() from a fresh state:
+        # no resident-state continue, no prefix-cache checkout.  (The
+        # whole point: one prefill instead of prefill + a dedicated
+        # re-forward; skipping reuse costs at most what the old dedicated
+        # forward always paid.)
+        mean_hidden = (ctx.request.pooled
+                       and ctx.request.kind == GenerateKind.STATE
+                       and ctx.request.effective_pooling() == "mean_hidden")
+
         reused = 0
-        if (slot.resident_state_id == ctx.state_id and slot.resident_tokens
+        if mean_hidden:
+            init = (self.states.get(ctx.state_id)
+                    if ctx.request.state_id else None)
+            eng.load_row_state(
+                b, _to_device(init) if init is not None else None)
+        elif (slot.resident_state_id == ctx.state_id and slot.resident_tokens
                 and len(slot.resident_tokens) < len(ctx.prompt_tokens)
                 and ctx.prompt_tokens[: len(slot.resident_tokens)]
                 == slot.resident_tokens):
@@ -1374,13 +1399,19 @@ class Runtime:
     async def _emit_state(self, slot: _Slot) -> None:
         if slot.ctx.request.pooled:
             ctx = slot.ctx
-            if not ctx.request.state_id:
-                # Default init state: mean-hidden readout (a dedicated
-                # chunked forward; retrieval-grade — see
-                # Engine.mean_hidden_embed).
+            if ctx.request.effective_pooling() == "mean_hidden":
+                # Default init state: mean-hidden readout off the hidden
+                # sums the serving prefill ALREADY accumulated (install
+                # forced a fresh-state full-prompt prefill for this row),
+                # so an embed costs exactly one forward.
+                def _mean(b=slot.index, n=len(ctx.prompt_tokens)):
+                    v = self.engine.read_row_hidden_sum(b)
+                    v = (v / max(n, 1)).astype(np.float64)
+                    return (v / max(float(np.linalg.norm(v)), 1e-12)
+                            ).astype(np.float32)
+
                 vec = await asyncio.get_event_loop().run_in_executor(
-                    None, self.engine.mean_hidden_embed,
-                    list(ctx.prompt_tokens))
+                    self._device_pool, _mean)
             else:
                 # Custom initial state: its influence lives in the row
                 # state, so pool that (the legacy readout).

@@ -499,27 +499,31 @@ class Server:
         })
 
     async def _embed_texts(self, env, texts: list[str],
-                           state_id: str | None = None) -> np.ndarray:
+                           state_id: str | None = None,
+                           pooling: str | None = None) -> np.ndarray:
         """Model-derived sentence embeddings, L2-normalized.
 
-        Default (no custom initial state): masked MEAN over all
-        positions of the final hidden states (C dims) — measured
-        retrieval-grade (recall@10 0.91 vs 0.07 for final-state pooling
-        on the real-prose eval, tools/eval_embed_quality.py /
-        BASELINE.md).  With a custom ``state`` id the pooled full-state
-        readout is served instead (3C dims: [mean att_x | mean ffn_x |
-        wkv uniform-query readout], each part unit-normalized) since
-        the custom state's influence lives in the state, not the
-        default-state hiddens.  Texts are submitted concurrently — the
-        runtime batches them across slots.  (Reference: the states
-        endpoint returns the raw full state, run.rs:984-989; the
-        embeddings endpoint is this build's native replacement for the
-        retired RWKV-layer-embeddings API.)"""
+        ``pooling="mean_hidden"`` (the default without a custom initial
+        state): masked MEAN over all positions of the final hidden
+        states (C dims) — measured retrieval-grade (recall@10 0.91 vs
+        0.07 for final-state pooling on the real-prose eval,
+        tools/eval_embed_quality.py / BASELINE.md), read from the
+        hidden sums the serving prefill itself accumulates (one forward
+        per text, batched across slots).  ``pooling="state"`` (the
+        default WITH a custom ``state`` id): pooled full-state readout
+        (3C dims: [mean att_x | mean ffn_x | wkv uniform-query
+        readout], each part unit-normalized) — the readout that
+        reflects a custom state's influence.  The two are mutually
+        incomparable; the endpoint echoes which one it used.
+        (Reference: the states endpoint returns the raw full state,
+        run.rs:984-989; the embeddings endpoint is this build's native
+        replacement for the retired RWKV-layer-embeddings API.)"""
         handles = []
         for text in texts:
             req = GenerateRequest(prompt=str(text), max_tokens=1,
                                   kind=GenerateKind.STATE,
-                                  state_id=state_id, pooled=True)
+                                  state_id=state_id, pooled=True,
+                                  pooling=pooling)
             handles.append(await env.runtime.submit(req))
         vecs = []
         for handle in handles:
@@ -555,12 +559,22 @@ class Server:
         # Resolve the state BEFORE flipping parsed so a malformed
         # ``state`` field maps to a 400 like chat/completions, not a 500.
         state_id = await self._resolve_state(env, body.get("state"))
+        pooling = body.get("pooling")
+        if pooling is not None and pooling not in ("mean_hidden", "state"):
+            return web.json_response(
+                {"error": "pooling must be 'mean_hidden' (C dims) or "
+                          "'state' (3C dims)"}, status=400)
         request["parsed"] = True
-        vecs = await self._embed_texts(env, inputs, state_id=state_id)
+        vecs = await self._embed_texts(env, inputs, state_id=state_id,
+                                       pooling=pooling)
         data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
                 for i, v in enumerate(vecs)]
         return web.json_response({
             "object": "list", "model": self._model_name(), "data": data,
+            # Vectors from the two poolings are NOT comparable; echo
+            # which one (and its dimensionality) this response used.
+            "pooling": pooling or ("state" if state_id else "mean_hidden"),
+            "dimensions": int(vecs.shape[-1]) if len(data) else 0,
             "usage": {"prompt_tokens": 0, "total_tokens": 0},
         })
 

@@ -147,7 +147,11 @@ def test_quant_head_logits_close(monkeypatch):
     model = LoadedModel(info=info, params=params, init_wkv=None)
     eng = Engine(model, max_batch=2, token_chunk_size=8,
                  state_dtype=jnp.float32)
-    assert "head_q" in model.params and "head" not in model.params
+    assert "_head_q" in model.params and "head" not in model.params
+    # The lossless bf16 head moves to host_params so prefab export and
+    # mesh param_specs still see a "head".
+    np.testing.assert_allclose(
+        np.asarray(model.host_params["head"], np.float32), head_ref)
 
     from ai00_server_tpu.engine import head_logits
     x = jax.random.normal(jax.random.PRNGKey(3), (2, info.num_emb),

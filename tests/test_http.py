@@ -204,6 +204,19 @@ def test_states_chooses_embeddings(site):
             assert len(body["data"]) == 2
             v = np.asarray(body["data"][0]["embedding"])
             assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+            # The served vector comes from the prefill-accumulated
+            # hidden sums (one forward); it must match the dedicated
+            # mean-hidden forward recipe.
+            env = server.middleware.env
+            ref = env.engine.mean_hidden_embed(
+                env.tokenizer.encode("ABC"))
+            np.testing.assert_allclose(v, ref, atol=2e-3)
+            # And identical repeat requests stay consistent (no prefix
+            # cache interference with the accumulator).
+            r = await client.post("/api/oai/embeddings", json={
+                "input": ["ABC"]})
+            v2 = np.asarray((await r.json())["data"][0]["embedding"])
+            np.testing.assert_allclose(v2, v, atol=1e-5)
         finally:
             await client.close()
             await server.middleware.unload()
