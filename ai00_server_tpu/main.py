@@ -113,6 +113,18 @@ async def amain(argv=None):
     # unsupported — TCP+TLS only.)
     acme = config.listen.acme and config.listen.domain != "local"
     tls = config.listen.tls or config.listen.domain != "local"
+    if config.listen.quic:
+        log.warning(
+            "listen.quic=true requested, but HTTP/3 (QUIC) is NOT "
+            "implemented in this build — serving HTTP/1.1 over TCP%s "
+            "only.  (The reference serves H3 via quinn, main.rs:343-358; "
+            "H3-capable clients fall back to TCP automatically.  See "
+            "docs/http3.md.)", "+TLS" if tls else "")
+    elif tls:
+        log.info(
+            "TLS listener serves HTTP/1.1 over TCP only (no HTTP/3/QUIC "
+            "— docs/http3.md); reference-parity H3 clients fall back to "
+            "TCP")
     cert_file, key_file = config.listen.tls_cert, config.listen.tls_key
     if acme:
         from .server import acme as acme_mod

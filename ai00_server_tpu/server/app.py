@@ -21,6 +21,7 @@ Route table mirrors the reference (crates/ai00-server/src/main.rs:245-320):
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import os
 import re
@@ -37,7 +38,7 @@ from ..runtime import (FinishReason, GenerateKind, GenerateRequest,
 from . import auth as auth_mod
 from . import files as files_mod
 from .config import Config, check_path_permitted, dump_toml
-from .openapi import OPENAPI_SPEC, SWAGGER_HTML
+from .openapi import SWAGGER_HTML, build_spec
 
 _WS_RE = re.compile(r"\n(\s*\n)+")
 
@@ -134,6 +135,7 @@ class Server:
         self.app = web.Application(client_max_size=1 << 30,
                                    middlewares=[cors_middleware,
                                                 bad_request_middleware])
+        self._openapi_cache = None  # built from the route table on demand
         self._routes()
 
     # -- helpers -----------------------------------------------------------
@@ -234,6 +236,7 @@ class Server:
     # -- auth ---------------------------------------------------------------
 
     def _admin(self, handler):
+        @functools.wraps(handler)  # keep the docstring for the OpenAPI spec
         async def wrapped(request: web.Request):
             if not self.config.listen.force_pass:
                 token = None
@@ -847,7 +850,9 @@ class Server:
     # -- docs -----------------------------------------------------------------
 
     async def openapi_json(self, request: web.Request):
-        return web.json_response(OPENAPI_SPEC)
+        if self._openapi_cache is None:
+            self._openapi_cache = build_spec(self.app)
+        return web.json_response(self._openapi_cache)
 
     async def swagger(self, request: web.Request):
         return web.Response(text=SWAGGER_HTML, content_type="text/html")

@@ -56,6 +56,11 @@ class ListenerOption:
     # testing.  The reference's rustls-acme equivalent: main.rs:320-423.
     acme_directory: str = ""
     acme_contact: str = ""
+    # HTTP/3 (QUIC) is NOT implemented (the reference serves it via
+    # quinn, main.rs:343-358).  The key is accepted so migrated configs
+    # parse; true draws an explicit startup warning and the server
+    # serves HTTP/1.1 over TCP(+TLS) only.  docs/http3.md.
+    quic: bool = False
 
 
 @dataclass
@@ -91,7 +96,7 @@ class Config:
         lo = ListenerOption()
         for k in ("domain", "ip", "port", "acme", "tls", "force_pass",
                   "slot", "expire_sec", "tls_cert", "tls_key",
-                  "acme_directory", "acme_contact"):
+                  "acme_directory", "acme_contact", "quic"):
             if k in lst:
                 setattr(lo, k, lst[k])
         if "app_keys" in lst:
@@ -123,6 +128,7 @@ class Config:
                 "tls_key": self.listen.tls_key,
                 "acme_directory": self.listen.acme_directory,
                 "acme_contact": self.listen.acme_contact,
+                "quic": self.listen.quic,
             },
         }
         if self.lora:

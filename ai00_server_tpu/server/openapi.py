@@ -58,6 +58,29 @@ _COMPLETION_BODY = {
     },
 }
 
+_EMBEDDINGS_BODY = {
+    "type": "object",
+    "properties": {
+        "input": {},
+        "state": {},
+        "pooling": {"type": "string", "enum": ["mean_hidden", "state"],
+                    "description": "mean_hidden: C dims (default without "
+                    "a state id); state: 3C dims (default with one). "
+                    "Vectors from the two are not comparable."},
+    },
+}
+
+_RETRIEVAL_ADD_BODY = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string"},
+        "vectors": {"type": "array", "items": {
+            "type": "array", "items": {"type": "number"}}},
+        "texts": {"type": "array", "items": {"type": "string"},
+                  "description": "embedded server-side when no vectors"},
+    },
+}
+
 OPENAPI_SPEC = {
     "openapi": "3.0.3",
     "info": {
@@ -81,9 +104,47 @@ OPENAPI_SPEC = {
                 "type": "object",
                 "properties": {"input": {}, "state": {}}}, ["oai"])},
         "/api/oai/embeddings": {"post": _op(
-            "Model-derived sentence embeddings", {
-                "type": "object",
-                "properties": {"input": {}}}, ["oai"])},
+            "Model-derived sentence embeddings", _EMBEDDINGS_BODY,
+            ["oai"])},
+        "/api/oai/embeds": {"post": _op(
+            "Sidecar text embeddings, chunked by token budget", {
+                "type": "object", "properties": {
+                    "input": {"type": "string"},
+                    "max_tokens": {"type": "integer", "default": 510},
+                    "prefix": {"type": "string", "default": "query:"}}},
+            ["oai"])},
+        "/api/retrieval/index": {"post": _op(
+            "Create a vector index (optionally seeded + IVF-built)",
+            _RETRIEVAL_ADD_BODY, ["retrieval"])},
+        "/api/retrieval/add": {"post": _op(
+            "Add vectors or texts to an index", _RETRIEVAL_ADD_BODY,
+            ["retrieval"])},
+        "/api/retrieval/search": {"post": _op(
+            "Nearest-neighbor search (exact or IVF)", {
+                "type": "object", "properties": {
+                    "name": {"type": "string"},
+                    "vectors": {"type": "array"},
+                    "texts": {"type": "array"},
+                    "k": {"type": "integer", "default": 10},
+                    "nprobe": {"type": "integer"}}}, ["retrieval"])},
+        "/api/retrieval/build": {"post": _op(
+            "Build/rebuild the IVF structure for an index", {
+                "type": "object", "properties": {
+                    "name": {"type": "string"},
+                    "nlist": {"type": "integer", "default": 64},
+                    "iters": {"type": "integer", "default": 10}}},
+            ["retrieval"])},
+        "/api/retrieval/list": {"get": _op("List vector indexes",
+                                           tags=["retrieval"])},
+        "/api/retrieval/drop": {"post": _op(
+            "Drop a vector index", {"type": "object", "properties": {
+                "name": {"type": "string"}}}, ["retrieval"])},
+        "/api/metrics": {"get": _op(
+            "Prometheus text-format serving metrics", tags=["api"])},
+        "/admin/profile/start": {"post": _op(
+            "Start a JAX profiler trace (admin)", tags=["admin"])},
+        "/admin/profile/stop": {"post": _op(
+            "Stop the JAX profiler trace (admin)", tags=["admin"])},
         "/api/oai/models": {"get": _op("Current model id", tags=["oai"])},
         "/api/adapters": {"get": _op("List compute devices", tags=["api"])},
         "/api/models/info": {"get": _op("Runtime info", tags=["api"])},
@@ -121,6 +182,41 @@ OPENAPI_SPEC = {
                                                  tags=["admin"])},
     },
 }
+
+def build_spec(app) -> dict:
+    """Spec derived from the LIVE route table, so every registered route
+    is documented by construction (the reference auto-derives the same
+    way: OpenApi::new().merge_router(&app), main.rs:307-311).
+    Hand-written request-body detail (OPENAPI_SPEC["paths"]) is merged
+    where present; other routes get their handler docstring's first
+    line as the summary."""
+    detail = OPENAPI_SPEC["paths"]
+    paths: dict = {}
+    for route in app.router.routes():
+        method = route.method.lower()
+        if method == "head" or route.resource is None:
+            continue
+        path = route.resource.canonical
+        op = detail.get(path, {}).get(method)
+        if op is None:
+            base = path
+            # /api/oai/v1/* aliases share the unaliased detail.
+            if "/api/oai/v1/" in path:
+                base = path.replace("/api/oai/v1/", "/api/oai/")
+            op = detail.get(base, {}).get(method)
+        if op is None:
+            doc = (getattr(route.handler, "__doc__", None) or "").strip()
+            summary = doc.splitlines()[0].rstrip(".") if doc else path
+            tags = (["admin"] if path.startswith("/admin")
+                    else ["retrieval"] if path.startswith("/api/retrieval")
+                    else ["oai"] if path.startswith("/api/oai")
+                    else ["api"])
+            op = _op(summary, tags=tags)
+        paths.setdefault(path, {})[method] = op
+    spec = {k: v for k, v in OPENAPI_SPEC.items() if k != "paths"}
+    spec["paths"] = paths
+    return spec
+
 
 SWAGGER_HTML = """<!DOCTYPE html>
 <html>

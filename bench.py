@@ -836,7 +836,13 @@ def bench_ivf(emit=True):
     cap = -(-cap // 128) * 128  # tile-align: enables the Pallas probe
 
     t0 = time.time()
-    builder = R.StreamedIVFBuilder(cent, cap=cap, dim=D)
+    # spill=8: with clustered data the 3 nearest clusters of a dense
+    # region are often ALL full (9.7% dropped at spill=3 in the r5
+    # probe); 8 candidate clusters per row makes drops negligible and
+    # costs only extra build-time scatter passes, not search time.
+    builder = R.StreamedIVFBuilder(
+        cent, cap=cap, dim=D,
+        spill=int(os.environ.get("BENCH_RET_SPILL", "8")))
     q_bf = q.astype(jnp.bfloat16)
     best_s = jnp.full((nq, 10), -np.inf, jnp.float32)
     best_i = jnp.full((nq, 10), -1, jnp.int32)

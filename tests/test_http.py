@@ -285,6 +285,23 @@ def test_openapi_docs(site):
             r = await client.get("/api-docs/openapi.json")
             spec = await r.json()
             assert "/api/oai/chat/completions" in spec["paths"]
+            # EVERY registered route is documented, and nothing more
+            # (reference auto-derivation parity, main.rs:307-311).
+            registered = set()
+            for route in server.app.router.routes():
+                if route.method.lower() == "head":
+                    continue
+                registered.add(
+                    (route.resource.canonical, route.method.lower()))
+            documented = {(p, m) for p, ops in spec["paths"].items()
+                          for m in ops}
+            assert registered == documented, (
+                registered.symmetric_difference(documented))
+            # Spot-check merged hand-written detail and docstring
+            # fallbacks both survive derivation.
+            emb = spec["paths"]["/api/oai/embeddings"]["post"]
+            assert "pooling" in json.dumps(emb)
+            assert spec["paths"]["/api/metrics"]["get"]["summary"]
             r = await client.get("/api-docs")
             assert "swagger" in (await r.text()).lower()
         finally:

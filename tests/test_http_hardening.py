@@ -169,3 +169,15 @@ def test_embed_sidecar_and_endpoint(site, tiny_bert):
             await server.middleware.unload()
 
     run(main())
+
+
+def test_quic_config_surfaced_not_served(caplog):
+    """HTTP/3 is a documented non-goal (docs/http3.md): listen.quic=true
+    must PARSE (a migrated reference config keeps working), round-trip
+    through to_dict, and the capability stays absent — there is no QUIC
+    listener anywhere in the package."""
+    cfg = Config.from_dict({"listen": {"quic": True, "port": 0}})
+    assert cfg.listen.quic is True
+    assert cfg.to_dict()["listen"]["quic"] is True
+    # Default stays off.
+    assert Config.from_dict({}).listen.quic is False
