@@ -30,24 +30,48 @@ def exact_search(index, queries, k=10):
     return jax.lax.top_k(scores, k)
 
 
-@functools.partial(jax.jit, static_argnames=("nlist", "iters", "blk"))
-def kmeans_blocked(key, data, nlist, iters=8, blk=65536):
+@functools.partial(jax.jit,
+                   static_argnames=("nlist", "iters", "blk", "balance",
+                                    "balance_eta"))
+def kmeans_blocked(key, data, nlist, iters=8, blk=65536, balance=False,
+                   balance_eta=0.2):
     """Memory-lean Lloyd k-means: assignment + accumulation stream over
     ``blk``-row blocks under one jit, so the (N, nlist) distance matrix
     never materializes beyond one block (~1 GB at blk=64Ki, nlist=4096).
     One-hot accumulation rides the MXU: ``one_hot.T @ block``.
-    N must be a multiple of blk."""
+    N must be a multiple of blk.
+
+    ``balance=True`` returns ``(centroids, bias)``: after plain Lloyd
+    converges the centroids, a second phase fits a per-cluster additive
+    bias on the FROZEN centroids (a power diagram): assignment
+    minimizes ``d2(x, c) + bias[c]``, and ``iters`` decaying-gain
+    integral steps (``bias += eta/sqrt(t+1) * scale * (count/mean -
+    1)``, scale = mean assignment distance so penalties are
+    commensurate with the geometry) equalize populations.  Fitting bias
+    jointly WITH the centroid updates was measured to oscillate (the
+    two dynamics fight); frozen-centroid fitting converges.
+    Populations equalize in the geometry the bias defines, so
+    downstream users (StreamedIVFBuilder placement, ivf_search probe
+    selection) must apply the same bias.  Why not plain Lloyd: a fixed
+    per-list cap must hold the LARGEST cluster, but HBM only affords
+    ~1.2x the mean — the r5 10M probe measured 9.7% of vectors dropped,
+    with spill candidates 2-8 also saturated (dense regions overflow
+    collectively; only moving the assignment borders fixes that).
+    Re-seeding tricks (split heaviest into lightest) measured no better
+    than plain Lloyd: there are no near-empty clusters to give up.
+    """
     N, D = data.shape
     assert N % blk == 0, (N, blk)
     idx = jax.random.choice(key, N, (nlist,), replace=False)
     cent0 = data[idx].astype(jnp.float32)
     blocks = data.reshape(N // blk, blk, D)
 
-    def one_iter(cent, _):
-        c2 = jnp.sum(cent * cent, -1)
+    def sweep(cent, bias):
+        """One streamed assignment pass: cluster sums/counts + mean d2."""
+        c2 = jnp.sum(cent * cent, -1) + bias
 
-        def blk_step(carry, xb):
-            sums, counts = carry
+        def blk_step(carry2, xb):
+            sums, counts, dsum = carry2
             xf = xb.astype(jnp.float32)
             d2 = c2[None, :] - 2.0 * (xf @ cent.T)
             a = jnp.argmin(d2, -1)
@@ -55,19 +79,39 @@ def kmeans_blocked(key, data, nlist, iters=8, blk=65536):
             sums = sums + jnp.dot(oh.T, xf.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
             counts = counts + oh.sum(0).astype(jnp.float32)
-            return (sums, counts), None
+            dsum = dsum + (jnp.min(d2, -1).sum()
+                           + jnp.sum(xf * xf) - bias[a].sum())
+            return (sums, counts, dsum), None
 
-        (sums, counts), _ = jax.lax.scan(
+        (sums, counts, dsum), _ = jax.lax.scan(
             blk_step,
             (jnp.zeros((cent.shape[0], D), jnp.float32),
-             jnp.zeros(cent.shape[0], jnp.float32)),
+             jnp.zeros(cent.shape[0], jnp.float32),
+             jnp.zeros((), jnp.float32)),
             blocks)
+        return sums, counts, dsum
+
+    zero_bias = jnp.zeros(nlist, jnp.float32)
+
+    def lloyd_iter(cent, _):
+        sums, counts, _ = sweep(cent, zero_bias)
         new = jnp.where(counts[:, None] > 0,
                         sums / jnp.maximum(counts[:, None], 1.0), cent)
         return new, None
 
-    cent, _ = jax.lax.scan(one_iter, cent0, None, length=iters)
-    return cent
+    cent, _ = jax.lax.scan(lloyd_iter, cent0, None, length=iters)
+    if not balance:
+        return cent
+
+    def bias_iter(bias, t):
+        _, counts, dsum = sweep(cent, bias)
+        scale = jnp.maximum(dsum / N, 1e-12)      # mean true min-d2
+        eta = balance_eta * jax.lax.rsqrt(1.0 + t.astype(jnp.float32))
+        bias = bias + eta * scale * (counts / (N / nlist) - 1.0)
+        return bias - bias.mean(), None           # argmin-invariant
+
+    bias, _ = jax.lax.scan(bias_iter, zero_bias, jnp.arange(iters))
+    return cent, bias
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "iters"))
@@ -103,6 +147,11 @@ class IVFIndex:
     cap: int
     pscale: jax.Array | None = None  # (nlist, cap) f32 per-vector scales
     #                                  when ``packed`` stores int8 codes
+    cbias: jax.Array | None = None   # (nlist,) f32 capacity-penalty bias
+    #                                  (balanced kmeans); vectors were
+    #                                  PLACED by argmin(d2 + cbias), so
+    #                                  probe selection must rank by the
+    #                                  same biased score
 
 
 def _assign_chunked(data: np.ndarray, cent_np: np.ndarray,
@@ -176,16 +225,22 @@ def build_ivf(data: np.ndarray, nlist: int = 64, iters: int = 10,
     )
 
 
-def _ivf_probe(centroids, queries, nprobe):
+def _ivf_probe(centroids, queries, nprobe, cbias=None):
     q = queries.astype(jnp.float32)
     cscore = q @ centroids.T                       # (Q, nlist)
+    if cbias is not None:
+        # Balanced index: vectors were placed by argmin(|x-c|^2 + bias),
+        # i.e. argmax(x.c - (|c|^2 + bias)/2).  Rank probes by the same
+        # biased score or queries probe the wrong side of moved borders.
+        cscore = cscore - 0.5 * (
+            jnp.sum(centroids * centroids, -1) + cbias)[None, :]
     _, probe = jax.lax.top_k(cscore, nprobe)       # (Q, nprobe)
     return q, probe
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search_xla(centroids, packed, packed_ids, queries, k=10, nprobe=8,
-                    pscale=None):
+                    pscale=None, cbias=None):
     """Portable IVF probe: scan over probe ranks, candidates fetched as a
     ROW gather from the (nlist*cap, D)-flattened index.
 
@@ -197,7 +252,7 @@ def _ivf_search_xla(centroids, packed, packed_ids, queries, k=10, nprobe=8,
     but execute latency-bound on TPU (~1.1k QPS); the Pallas kernel
     below is the production TPU path, this is the CPU/odd-shape
     fallback."""
-    q, probe = _ivf_probe(centroids, queries, nprobe)
+    q, probe = _ivf_probe(centroids, queries, nprobe, cbias)
     dt = jnp.bfloat16 if packed.dtype == jnp.int8 else jnp.float32
     qd = q.astype(dt)
     Q = q.shape[0]
@@ -232,7 +287,8 @@ def _ivf_search_xla(centroids, packed, packed_ids, queries, k=10, nprobe=8,
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
 def _ivf_search_pallas(centroids, packed, packed_ids, queries, k=10,
-                       nprobe=8, pscale=None, interpret=False):
+                       nprobe=8, pscale=None, cbias=None,
+                       interpret=False):
     """TPU IVF probe as a Pallas scalar-prefetch kernel.
 
     Grid = (Q, nprobe); the prefetched probe table steers each step's
@@ -245,7 +301,7 @@ def _ivf_search_pallas(centroids, packed, packed_ids, queries, k=10,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, probe = _ivf_probe(centroids, queries, nprobe)
+    q, probe = _ivf_probe(centroids, queries, nprobe, cbias)
     Q, D = q.shape
     nlist, cap, _ = packed.shape
     if pscale is None:
@@ -298,7 +354,7 @@ def _ivf_search_pallas(centroids, packed, packed_ids, queries, k=10,
 
 
 def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
-               pscale=None):
+               pscale=None, cbias=None):
     """queries: (Q, D).  Returns (scores, ids) (Q, k); ids -1 = no hit.
     ``pscale`` dequantizes int8-coded clusters on the score accumulator
     (one multiply per candidate, not per element).
@@ -311,9 +367,10 @@ def ivf_search(centroids, packed, packed_ids, queries, k=10, nprobe=8,
     if (jax.default_backend() == "tpu" and cap % 128 == 0
             and D % 128 == 0):
         return _ivf_search_pallas(centroids, packed, packed_ids, queries,
-                                  k=k, nprobe=nprobe, pscale=pscale)
+                                  k=k, nprobe=nprobe, pscale=pscale,
+                                  cbias=cbias)
     return _ivf_search_xla(centroids, packed, packed_ids, queries,
-                           k=k, nprobe=nprobe, pscale=pscale)
+                           k=k, nprobe=nprobe, pscale=pscale, cbias=cbias)
 
 
 class StreamedIVFBuilder:
@@ -331,17 +388,24 @@ class StreamedIVFBuilder:
     spilled one is found whenever its spill cluster is probed.  Rows
     exhausting every candidate are dropped and counted (``dropped``)."""
 
-    def __init__(self, centroids, cap: int, dim: int, spill: int = 3):
+    def __init__(self, centroids, cap: int, dim: int, spill: int = 3,
+                 cbias=None):
         self.centroids = centroids.astype(jnp.float32)
         nlist = centroids.shape[0]
         self.nlist, self.cap, self.dim = nlist, cap, dim
         self.spill = max(1, min(spill, nlist))
+        self.cbias = None if cbias is None else jnp.asarray(
+            cbias, jnp.float32)
         self.packed = jnp.zeros((nlist, cap, dim), jnp.int8)
         self.packed_ids = jnp.full((nlist, cap), -1, jnp.int32)
         self.pscale = jnp.zeros((nlist, cap), jnp.float32)
         self.fill = jnp.zeros(nlist, jnp.int32)
         self.dropped = jnp.zeros((), jnp.int32)
+        # Placement metric: d2 + cbias (the balanced-kmeans power
+        # diagram) — fold the bias into the |c|^2 term once.
         self._c2 = jnp.sum(self.centroids * self.centroids, -1)
+        if self.cbias is not None:
+            self._c2 = self._c2 + self.cbias
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4))
 
     def _step_impl(self, packed, pids, pscale, fill, dropped, x, base):
@@ -392,7 +456,8 @@ class StreamedIVFBuilder:
     def finish(self) -> IVFIndex:
         return IVFIndex(centroids=self.centroids, packed=self.packed,
                         packed_ids=self.packed_ids, nlist=self.nlist,
-                        cap=self.cap, pscale=self.pscale)
+                        cap=self.cap, pscale=self.pscale,
+                        cbias=self.cbias)
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))

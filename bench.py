@@ -824,8 +824,9 @@ def bench_ivf(emit=True):
              jax.random.fold_in(key, 1 << 30), (nq, D), jnp.float32))
     train_chunks = min(4, n_chunks)
     train = jnp.concatenate([gen(i) for i in range(train_chunks)], 0)
-    cent = R.kmeans_blocked(jax.random.fold_in(key, 1 << 29), train,
-                            nlist=nlist, iters=8, blk=chunk)
+    cent, cbias = R.kmeans_blocked(jax.random.fold_in(key, 1 << 29), train,
+                                   nlist=nlist, iters=8, blk=chunk,
+                                   balance=True)
     jax.block_until_ready(cent)
     del train
     train_s = time.time() - t0
@@ -836,13 +837,13 @@ def bench_ivf(emit=True):
     cap = -(-cap // 128) * 128  # tile-align: enables the Pallas probe
 
     t0 = time.time()
-    # spill=8: with clustered data the 3 nearest clusters of a dense
-    # region are often ALL full (9.7% dropped at spill=3 in the r5
-    # probe); 8 candidate clusters per row makes drops negligible and
-    # costs only extra build-time scatter passes, not search time.
+    # Balanced kmeans (capacity-penalized Lloyd, cbias) keeps cluster
+    # populations near the mean so the 1.2x-mean cap holds; spill=8
+    # mops up the residue (measured r5: plain Lloyd dropped 9.7% at 10M
+    # regardless of spill — dense regions overflowed collectively).
     builder = R.StreamedIVFBuilder(
         cent, cap=cap, dim=D,
-        spill=int(os.environ.get("BENCH_RET_SPILL", "8")))
+        spill=int(os.environ.get("BENCH_RET_SPILL", "8")), cbias=cbias)
     q_bf = q.astype(jnp.bfloat16)
     best_s = jnp.full((nq, 10), -np.inf, jnp.float32)
     best_i = jnp.full((nq, 10), -1, jnp.int32)
@@ -861,7 +862,7 @@ def bench_ivf(emit=True):
     for nprobe in (8, 16, 32):
         search = functools.partial(
             R.ivf_search, ivf.centroids, ivf.packed, ivf.packed_ids,
-            k=10, nprobe=nprobe, pscale=ivf.pscale)
+            k=10, nprobe=nprobe, pscale=ivf.pscale, cbias=ivf.cbias)
         ids = np.concatenate([
             np.asarray(search(q[j:j + Q])[1]) for j in range(0, nq, Q)])
         recall = np.mean([

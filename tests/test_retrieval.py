@@ -282,3 +282,50 @@ def test_exact_search_chunked_matches_whole():
     # bf16 score ties can reorder; compare the ID SETS per row.
     for r in range(8):
         assert len(set(np.asarray(i_all)[r]) & set(i_chk[r])) >= 9
+
+
+def test_kmeans_balance_equalizes_populations():
+    """Capacity-penalized Lloyd (balance=True) must pull the max
+    cluster population toward the mean IN ITS OWN biased geometry, and
+    a builder+search pair using the same cbias must keep retrieval
+    working (the bias moves assignment borders; probe selection must
+    move with them)."""
+    rng = np.random.default_rng(11)
+    n_modes, per, D, nlist = 256, 16, 64, 32
+    modes = rng.standard_normal((n_modes, D)).astype(np.float32)
+    modes /= np.linalg.norm(modes, axis=-1, keepdims=True)
+    cid = rng.integers(0, n_modes, n_modes * per)
+    x = modes[cid] + (0.35 / np.sqrt(D)) * rng.standard_normal(
+        (n_modes * per, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    x = jnp.asarray(x)
+    N = x.shape[0]
+
+    def max_pop(cent, bias):
+        c2 = jnp.sum(cent * cent, -1) + (0 if bias is None else bias)
+        d2 = c2[None, :] - 2.0 * x @ cent.T
+        return int(jnp.bincount(jnp.argmin(d2, -1), length=nlist).max())
+
+    plain = max_pop(R.kmeans_blocked(jax.random.PRNGKey(2), x,
+                                     nlist=nlist, iters=8, blk=N), None)
+    cent, bias = R.kmeans_blocked(jax.random.PRNGKey(2), x, nlist=nlist,
+                                  iters=16, blk=N, balance=True)
+    balanced = max_pop(cent, bias)
+    mean = N / nlist
+    assert balanced < plain, (plain, balanced)
+    assert balanced <= 1.3 * mean, (plain, balanced, mean)
+
+    # End-to-end with the bias threaded through builder + search.
+    builder = R.StreamedIVFBuilder(cent, cap=int(mean * 1.3) + 1, dim=D,
+                                   spill=4, cbias=bias)
+    for i in range(0, N, N // 4):
+        builder.add(x[i:i + N // 4], i)
+    assert int(builder.dropped) == 0
+    ivf = builder.finish()
+    q = x[:32]
+    _, hits = R.ivf_search(ivf.centroids, ivf.packed, ivf.packed_ids, q,
+                           k=5, nprobe=4, pscale=ivf.pscale,
+                           cbias=ivf.cbias)
+    hits = np.asarray(hits)
+    found = sum(r in hits[r] for r in range(32))
+    assert found >= 30, found
