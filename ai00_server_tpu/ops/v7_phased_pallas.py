@@ -41,6 +41,7 @@ quantized 7B-class models (``Quant::Int8``, reload.rs:23-27).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +76,13 @@ def _geometry(params):
     return mode, C, F, H, N
 
 
-HEAD_GROUP = 8  # heads per WKV grid step (state window = B*8*N*N f32)
+# Heads per WKV grid step (state window = B*HEAD_GROUP*N*N).  Larger
+# groups mean fewer, bigger state DMAs: the 2 MB windows at 8 stream at
+# only ~240 GB/s (latency-bound), and weight streaming can't progress
+# past Mosaic's 1-step prefetch during the group steps — the r5 probe
+# measured the full kernel 90% DMA-schedule-bound.  Env-tunable for
+# probes; pick_na budgets VMEM for the chosen value.
+HEAD_GROUP = int(os.environ.get("AI00_PHASED_HC", "8"))
 
 
 def pick_na(C, F, H, N, batch, esize, max_bytes=92 * 1024 * 1024):
@@ -169,21 +176,47 @@ def _dots_variant() -> str:
 
 
 _DN_K0 = (((0,), (0,)), ((), ()))  # contract axis 0 of both operands
+_DN_STD = (((1,), (0,)), ((), ()))  # standard (B, K) @ (K, out)
 
 
-def _mono_dot(xt, w_ref, s_ref, cd, packed4=False):
-    """(Kt, B) transposed x tile  @  window -> (B, out) f32.  int8
-    windows keep the per-128-row-block scales on the f32 accumulator
-    (cheap here: ONE body instance exists, so the scale multiplies are
-    charged once per grid step, not once per unrolled tile body).
+def _stage_variant() -> str:
+    """AI00_PHASED_STAGE selects the mono staging slab layout:
+
+        t (default)   (count, K, B) slabs via per-tile TRANSPOSES of the
+                      (B, C)/(B, F) lane-layout scratch; the dot
+                      contracts axis 0 of both operands
+        copy          (count, B, K) slabs via static lane-slice COPIES
+                      (no transpose at all); the dot is the standard
+                      (B, K) @ (K, out) form
+
+    The staging transposes are the phased kernel's main EXPOSED compute
+    (the ffn hkT stage is a (B, F) = 16x16384 f32 transpose inside ONE
+    grid step, where Mosaic's 1-step window prefetch can't hide it)."""
+    import os
+
+    return os.environ.get("AI00_PHASED_STAGE", "t")
+
+
+def _mono_dot(xt, w_ref, s_ref, cd, packed4=False, transposed=True):
+    """x tile @ window -> (B, out) f32.  ``transposed``: xt is the
+    (Kt, B) staged slab (contract axis 0 of both); else the (B, Kt)
+    copy-staged slab (standard matmul dims).  int8 windows keep the
+    per-128-row-block scales on the f32 accumulator (cheap here: ONE
+    body instance exists, so the scale multiplies are charged once per
+    grid step, not once per unrolled tile body).
 
     ``packed4``: the window holds PACKED int4 (1, nb, 32, out) uint8 —
     split-half nibbles (low nibble = block rows [0,32), high = [32,64));
     decode is mask/shift + subtract (~3 VPU ops/element, the whole point
     of the uniform grid), scales stay on the accumulator."""
+    dn = _DN_K0 if transposed else _DN_STD
+
+    def xsl(lo, n):
+        return xt[lo:lo + n] if transposed else xt[:, lo:lo + n]
+
     if s_ref is None:
         return jax.lax.dot_general(
-            xt.astype(cd), w_ref[0].astype(cd), _DN_K0,
+            xt.astype(cd), w_ref[0].astype(cd), dn,
             preferred_element_type=jnp.float32)
     nb, blk, out = w_ref.shape[1:]
     acc = None
@@ -194,15 +227,15 @@ def _mono_dot(xt, w_ref, s_ref, cd, packed4=False):
             whi = ((packed >> 4) - 8).astype(cd)
             base = j * 2 * blk
             pj = jax.lax.dot_general(
-                xt[base:base + blk].astype(cd), wlo, _DN_K0,
+                xsl(base, blk).astype(cd), wlo, dn,
                 preferred_element_type=jnp.float32)
             pj = pj + jax.lax.dot_general(
-                xt[base + blk:base + 2 * blk].astype(cd), whi, _DN_K0,
+                xsl(base + blk, blk).astype(cd), whi, dn,
                 preferred_element_type=jnp.float32)
         else:
             pj = jax.lax.dot_general(
-                xt[j * blk:(j + 1) * blk].astype(cd),
-                w_ref[0, j].astype(cd), _DN_K0,
+                xsl(j * blk, blk).astype(cd),
+                w_ref[0, j].astype(cd), dn,
                 preferred_element_type=jnp.float32)
         pj = pj * s_ref[0, j]
         acc = pj if acc is None else acc + pj
@@ -307,7 +340,7 @@ def _grid_mode() -> str:
 
 
 def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
-            wkvg="tchain", dots="mono"):
+            wkvg="tchain", dots="mono", stagev="t"):
     nf = 4 * na
     ng = H // Hc
     W = 12 * na + ng
@@ -337,10 +370,13 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             (xrT, xkT, xvT, ygT, fxkT, hkT) = rest[15:21]
 
         def stage_T(dst, src_scr, count, K):
-            """(B, count*K) lane-layout scratch -> (count, K, B) slabs
-            the mono dot bodies index by traced tile (once per layer)."""
+            """(B, count*K) lane-layout scratch -> per-tile slabs the
+            mono dot bodies index by traced tile (once per layer):
+            (count, K, B) transposed slabs (stagev="t") or (count, B, K)
+            static lane-slice copies (stagev="copy", no transpose)."""
             for t in range(count):
-                dst[t] = jnp.transpose(src_scr[:, t * K:(t + 1) * K])
+                sl = src_scr[:, t * K:(t + 1) * K]
+                dst[t] = jnp.transpose(sl) if stagev == "t" else sl
 
         if flat:
             i = pl.program_id(0)
@@ -442,7 +478,8 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
                 def _():
                     t = w - lo
                     part = _mono_dot(xT[t], big[name], sref(name), cd,
-                                     packed4=packed4)
+                                     packed4=packed4,
+                                     transposed=stagev == "t")
                     accr[:] = jnp.where(t == 0, part, accr[:] + part)
                 return
             K = xsrc.shape[1] // count
@@ -826,13 +863,16 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                pltpu.VMEM((5, B, C), jnp.float32),       # aux (wdec,a,g,rk,ln1)
                pltpu.VMEM((ng, 7 * B, Hc * N), jnp.float32),  # vst (staged)
                pltpu.VMEM((ng, 2 * B, Hc * N), jnp.float32)]  # yo (per-group)
+    stagev = _stage_variant()
     if dots == "mono":
-        # Transposed x staging slabs the mono dot bodies index by
-        # traced tile: xrT/xkT/xvT/ygT (na, Kt, B), fxkT (nf, Ktf, B),
-        # hkT (nf, Ktv, B).
-        scratch += [pltpu.VMEM((na, Kt, B), jnp.float32)] * 4 + [
-            pltpu.VMEM((nf, Ktf, B), jnp.float32),
-            pltpu.VMEM((nf, Ktv, B), jnp.float32)]
+        # x staging slabs the mono dot bodies index by traced tile:
+        # xrT/xkT/xvT/ygT, fxkT, hkT — (count, K, B) transposed
+        # (stagev="t") or (count, B, K) lane-slice copies ("copy").
+        def slab(count, K):
+            shape = (count, K, B) if stagev == "t" else (count, B, K)
+            return pltpu.VMEM(shape, jnp.float32)
+
+        scratch += [slab(na, Kt)] * 4 + [slab(nf, Ktf), slab(nf, Ktv)]
 
     if "dma" in abl:
         # Bisection mode: EMPTY body (same specs => same DMA schedule,
@@ -847,7 +887,8 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                 pass  # state outputs left unwritten on purpose
     else:
         kernel = _kernel(H, N, na, F, cd, qmode, Hc, flat=flat,
-                         only=_only(), wkvg=wkvg, dots=dots)
+                         only=_only(), wkvg=wkvg, dots=dots,
+                         stagev=stagev)
 
     # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
     # in-place — the kernel reads each head's block before writing it.

@@ -54,26 +54,42 @@ def main():
     Kt, Ktf, Ktv = C // na, C // nf, F // nf
     W = 12 * na + ng
 
+    # Generate ON DEVICE: host numpy RNG at 7B geometry (13 GB) takes
+    # ~40 min on the single-core bench host.  PROBE_WDTYPE=int8 matches
+    # the real quantized kernel's stored width.
     rng = np.random.default_rng(0)
+    wdtype = dict(int8=jnp.int8, bf16=jnp.bfloat16)[
+        os.environ.get("PROBE_WDTYPE", "bf16")]
+    _key = [0]
 
-    def mk(shape):
-        return jnp.asarray(rng.standard_normal(shape) * 0.01, jnp.bfloat16)
+    def mk(shape, dtype=None):
+        dtype = dtype or wdtype
+        _key[0] += 1
+
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def gen(k, shape, dtype):
+            if dtype == jnp.int8:
+                return jax.random.randint(k, shape, -127, 128, jnp.int32
+                                          ).astype(jnp.int8)
+            return (jax.random.normal(k, shape, jnp.float32) * 0.01
+                    ).astype(dtype)
+
+        return gen(jax.random.PRNGKey(_key[0]), tuple(shape), dtype)
 
     att = {k: mk((L, C, C)) for k in ("Wr", "Wk", "Wv", "Wo")}
     ffn = {"fkey": mk((L, C, F)), "fval": mk((L, F, C))}
     big = {**att, **ffn}
-    smalls = {f"s{i}": mk((L, 8, C)) for i in range(13)}
-    wkv = jnp.asarray(rng.standard_normal((L, B, H, N, N)) * 0.01,
-                      jnp.float32)
-    att_x = jnp.asarray(rng.standard_normal((L, B, C)) * 0.01, jnp.float32)
-    ffn_x = jnp.asarray(rng.standard_normal((L, B, C)) * 0.01, jnp.float32)
-    x0 = mk((B, C))
+    smalls = {f"s{i}": mk((L, 8, C), jnp.bfloat16) for i in range(13)}
+    wkv = mk((L, B, H, N, N), jnp.float32)
+    att_x = mk((L, B, C), jnp.float32)
+    ffn_x = mk((L, B, C), jnp.float32)
+    x0 = mk((B, C), jnp.bfloat16)
 
     with_smalls = feat in ("smalls", "full")
     with_state = feat in ("state", "full")
     flat = feat == "flat"
 
-    total_bytes = sum(int(v.size) * 2 for v in big.values())
+    total_bytes = sum(int(v.size) * v.dtype.itemsize for v in big.values())
     if with_smalls:
         total_bytes += sum(int(v.size) * 2 for v in smalls.values())
     if with_state:
@@ -206,13 +222,15 @@ def main():
     n1, n2 = reps, 5 * reps
     ts = {}
     for n in (n1, n2):
+        # block_until_ready does NOT wait through the axon tunnel (see
+        # probe_decode.py) — only a device->host transfer syncs.
         o = chain(x0, *arrs, n=n)
-        jax.block_until_ready(o[1])
+        np.asarray(o[1])
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             o = chain(x0, *arrs, n=n)
-            jax.block_until_ready(o[1])
+            np.asarray(o[1])
             best = min(best, time.time() - t0)
         ts[n] = best
     dt = (ts[n2] - ts[n1]) / (n2 - n1)
