@@ -819,7 +819,8 @@ def forward_t1(params, state, tokens, lengths, na=None, interpret=False,
         # fallback, not the default.
         Hc = H
         per_row = H * N * N * jnp.dtype(state["wkv"].dtype).itemsize
-        Bc = max(1, min(B, (2 << 20) // max(per_row, 1)))
+        win = int(os.environ.get("AI00_PHASED_BBATCH_WIN", 2 << 20))
+        Bc = max(1, min(B, win // max(per_row, 1)))
         while B % Bc:
             Bc -= 1
         ng = B // Bc

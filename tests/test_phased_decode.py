@@ -154,6 +154,37 @@ def test_phased_wkvg_bform_matches_tchain(stack):
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_phased_wkvg_bbatch_matches_tchain(stack):
+    """The batch-sliced contiguous state-window body (wkvg='bbatch')
+    computes identical outputs/state to the default form.  It is a
+    raceable fallback kept after a measured negative result (r5: DMA
+    wall unchanged, docs/decode-paths.md §breakdown); this test keeps
+    the fallback correct with B split into multiple batch groups."""
+    import os
+    info, raw, params = stack
+    # Per-row state here is H*N*N*4 = 128 KB; cap the window at 256 KB
+    # so B=4 splits into two batch groups (Bc=2, ng=2).
+    os.environ["AI00_PHASED_BBATCH_WIN"] = str(256 << 10)
+    state = _advanced_state(info, params, 4)
+    rng = np.random.default_rng(11)
+    t1 = jnp.asarray(rng.integers(0, info.num_vocab, (4, 1)), jnp.int32)
+    l1 = jnp.asarray([1, 0, 1, 1], jnp.int32)
+    pparams = dict(params)
+    pparams[fd.FUSED_KEY] = fd.make_fused_layout(params)
+    try:
+        h_t, s_t = pd.forward_t1(pparams, state, t1, l1, na=1,
+                                 interpret=True, wkvg="tchain")
+        h_b, s_b = pd.forward_t1(pparams, state, t1, l1, na=1,
+                                 interpret=True, wkvg="bbatch")
+    finally:
+        del os.environ["AI00_PHASED_BBATCH_WIN"]
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_t),
+                               rtol=1e-5, atol=1e-6)
+    for k in s_t:
+        np.testing.assert_allclose(np.asarray(s_b[k]), np.asarray(s_t[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_phased_reachable_with_fused_kernel_off(stack, monkeypatch):
     """AI00_FUSED_DECODE=off must disable only the whole-network kernel:
     a model with the FUSED_KEY layout installed still reaches the phased
