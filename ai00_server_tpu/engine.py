@@ -152,7 +152,8 @@ class Engine:
                 head = model.params.pop("head")
                 if model.host_params is None:
                     model.host_params = {}
-                model.host_params.setdefault("head", np.asarray(head))
+                from .loader import to_host_chunked
+                model.host_params.setdefault("head", to_host_chunked(head))
                 model.params["_head_q"] = quant_mod.quantize_int8_jax(head)
                 del head
 

@@ -16,7 +16,7 @@ import json
 
 import numpy as np
 
-from .loader import LoadedModel
+from .loader import LoadedModel, to_host_chunked
 from .models.info import ModelInfo, ModelVersion
 from .ops.quant import QuantizedLinear
 
@@ -39,11 +39,12 @@ def _to_skeleton(obj, tensors: dict, path: str):
         return {
             "__quant__": obj.mode,
             "shape": list(obj.shape),
-            "q": _to_skeleton(np.asarray(obj.q), tensors, f"{path}/q"),
-            "scale": _to_skeleton(np.asarray(obj.scale), tensors,
+            "q": _to_skeleton(to_host_chunked(obj.q), tensors,
+                              f"{path}/q"),
+            "scale": _to_skeleton(to_host_chunked(obj.scale), tensors,
                                   f"{path}/scale"),
         }
-    arr = np.asarray(obj)
+    arr = to_host_chunked(obj)
     key = f"t{len(tensors)}"
     if arr.dtype == np.dtype("bfloat16") or str(arr.dtype) == "bfloat16":
         tensors[key] = (arr.view(np.uint16), "bfloat16")
@@ -109,8 +110,8 @@ def save_prefab(path: str, model: LoadedModel, config: dict | None = None
                 node = nxt
             leaf = node[keys[-1]]
             node[keys[-1]] = repack_surrogate(
-                np.asarray(leaf.q), np.asarray(leaf.scale), mode,
-                leaf.shape)
+                to_host_chunked(leaf.q), to_host_chunked(leaf.scale),
+                mode, leaf.shape)
     skeleton = _to_skeleton(params, tensors, "")
     if model.init_wkv is not None:
         skeleton_init = _to_skeleton(model.init_wkv, tensors, "/init")

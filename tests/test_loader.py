@@ -129,3 +129,23 @@ def test_pth_conversion(tmp_path):
                                jnp.array([6], jnp.int32))
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_to_host_chunked_matches_monolithic():
+    """Chunked device->host transfer is bit-identical to np.asarray for
+    multi-chunk, exactly-one-chunk, host-array, and 0-d inputs (the
+    slicing exists because >0.5 GB single DMAs crash the tunnel worker,
+    loader.to_host_chunked docstring)."""
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(37, 50)),
+                    jnp.float32)
+    whole = np.asarray(x)
+    # rows-per-chunk = 37*200//7400 = 1 -> 37 slices.
+    np.testing.assert_array_equal(
+        loader.to_host_chunked(x, max_bytes=200), whole)
+    # Forces the mid-size path: nbytes > max_bytes, several rows/chunk.
+    np.testing.assert_array_equal(
+        loader.to_host_chunked(x, max_bytes=2000), whole)
+    # Fits one chunk / plain numpy / scalar pass through.
+    np.testing.assert_array_equal(loader.to_host_chunked(x), whole)
+    np.testing.assert_array_equal(loader.to_host_chunked(whole), whole)
+    assert loader.to_host_chunked(jnp.float32(4.0), max_bytes=1) == 4.0
