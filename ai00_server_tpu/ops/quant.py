@@ -272,13 +272,24 @@ def quantize_int8_jax(w) -> QuantizedLinear:
 
 
 def _quantize_4bit_jax_2d(w, mids, table_size=16):
+    """``mids`` must be a HOST numpy array (static 15-entry boundary
+    list), not a traced value — see the compare loop below."""
     in_dim, out = w.shape
     nb = in_dim // NF4_BLOCK
     half = NF4_BLOCK // 2
     blocks = w.reshape(nb, NF4_BLOCK, out).astype(jnp.float32)
     absmax = jnp.maximum(jnp.abs(blocks).max(axis=-2, keepdims=True), 1e-12)
     norm = blocks / absmax
-    codes = jnp.searchsorted(mids, norm).astype(jnp.uint8)
+    # Equivalent of jnp.searchsorted(mids, norm) (side='left': the code
+    # is the count of mids strictly below the value) as 15 fused
+    # elementwise compares.  searchsorted itself is AVOIDED on purpose:
+    # its TPU lowering left the worker in a state where the NEXT
+    # device->host transfer crashed it ("TPU worker process crashed"),
+    # reproducibly killing the 7b_nf4 bench group (r4+r5) — int4's
+    # quantizer, identical but for this op, never did.
+    codes = jnp.zeros(norm.shape, jnp.uint8)
+    for m in mids:
+        codes += (norm > float(m)).astype(jnp.uint8)
     lo = codes[:, :half, :]
     hi = codes[:, half:, :]
     packed = (lo | (hi << 4)).astype(jnp.uint8)
@@ -287,17 +298,19 @@ def _quantize_4bit_jax_2d(w, mids, table_size=16):
 
 def quantize_4bit_jax(w, mode: str) -> QuantizedLinear:
     """Device-side :func:`quantize_nf4`/``sf4`` (same codes/scales)."""
+    import functools
+
     table8 = NF4_TABLE8 if mode == "nf4" else SF4_TABLE8
     eff = table8.astype(np.float32) / 127.0
-    mids = jnp.asarray((eff[1:] + eff[:-1]) / 2, jnp.float32)
+    mids = ((eff[1:] + eff[:-1]) / 2).astype(np.float32)  # host constant
+    fn = functools.partial(_quantize_4bit_jax_2d, mids=mids)
     *lead, in_dim, out = w.shape
     assert in_dim % NF4_BLOCK == 0
     if w.ndim == 2:
-        q, s = jax.jit(_quantize_4bit_jax_2d)(w, mids)
+        q, s = jax.jit(fn)(w)
     else:
         assert w.ndim == 3
-        q, s = jax.jit(lambda x, m: jax.lax.map(
-            lambda y: _quantize_4bit_jax_2d(y, m), x))(w, mids)
+        q, s = jax.jit(lambda x: jax.lax.map(fn, x))(w)
     return QuantizedLinear(mode, q, s, (in_dim, out))
 
 
