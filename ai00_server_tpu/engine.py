@@ -170,6 +170,22 @@ class Engine:
         # ONE prefill, not prefill + a dedicated re-forward
         # (read_row_hidden_sum).
         self.hsum_pool = jnp.zeros((B, self.info.num_emb), jnp.float32)
+        # Device-resident token-level grammar DFA (regular grammars,
+        # grammar.token_dfa_table): per-row (TH, V) int8 table where
+        # entry -1 = token disallowed, TH-1 = halt, else next state; the
+        # decode scan applies the exact per-state mask, advances the
+        # state, and FREEZES halted rows — constrained decode at full
+        # chunk speed with no host replay (the reference masks logits on
+        # the CPU per token, bnf.rs:35-47).  dfa_state < 0 = row not
+        # DFA-constrained (mask_pool path).  64 MB at B=16/V=65536 —
+        # small next to 7B weights; tiny on test vocabs.
+        TH = int(os.environ.get("AI00_DFA_STATES", "64"))
+        self.dfa_height = TH
+        self.dfa_pool = jnp.full((B, TH, V), -1, jnp.int8)
+        self.dfa_state = jnp.full((B,), -1, jnp.int32)
+        # Host-side key per row (grammar identity) to skip re-uploading
+        # the 4 MB table when the slot is reused with the same grammar.
+        self._dfa_row_key: list = [None] * B
 
         if mesh is None or int(mesh.shape.get("tp", 1)) == 1:
             # Install the fused decode layout (the small per-channel
@@ -224,6 +240,10 @@ class Engine:
                 self.mask_pool, NamedSharding(mesh, P("dp", None)))
             self.hsum_pool = jax.device_put(
                 self.hsum_pool, NamedSharding(mesh, P("dp", None)))
+            self.dfa_pool = jax.device_put(
+                self.dfa_pool, NamedSharding(mesh, P("dp", None, None)))
+            self.dfa_state = jax.device_put(
+                self.dfa_state, NamedSharding(mesh, P("dp")))
         self.mask_active = np.zeros(B, np.bool_)  # rows with a BNF mask
         self.bias_active = np.zeros(B, np.bool_)  # rows with a logit bias
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
@@ -516,6 +536,47 @@ class Engine:
         self.mask_pool = _set_pool_row(
             self.mask_pool, jnp.asarray(vec), jnp.int32(b))
 
+    def set_row_dfa(self, b: int, table: np.ndarray, state0: int,
+                    key=None) -> None:
+        """Install a device-resident grammar DFA for row ``b``.
+
+        ``table`` is ``(S, V) int8`` from grammar.token_dfa_table with
+        ``S <= dfa_height`` (the halt row must be its LAST row); it is
+        padded so the halt row lands at index ``dfa_height - 1``.
+        ``key`` identifies the grammar: when it matches the row's
+        current table the (4 MB at V=65536) upload is skipped and only
+        the scalar state is set."""
+        TH = self.dfa_height
+        S = table.shape[0]
+        if S > TH:
+            raise ValueError(f"DFA table height {S} > pool {TH}")
+        with self._lock:
+            if key is None or self._dfa_row_key[b] != key:
+                if S < TH:
+                    pad = np.full((TH, self.vocab), -1, np.int8)
+                    pad[: S - 1] = table[:-1]
+                    pad[TH - 1] = TH - 1  # halt row: allow-all self-loop
+                    # halt targets move from S-1 to TH-1
+                    pad[: S - 1][pad[: S - 1] == S - 1] = TH - 1
+                    table = pad
+                self.dfa_pool = _set_pool_row(
+                    self.dfa_pool, jnp.asarray(table), jnp.int32(b))
+                self._dfa_row_key[b] = key
+            self.dfa_state = _set_scalar(
+                self.dfa_state, jnp.int32(state0), jnp.int32(b))
+
+    def set_row_dfa_state(self, b: int, state: int) -> None:
+        with self._lock:
+            self.dfa_state = _set_scalar(
+                self.dfa_state, jnp.int32(state), jnp.int32(b))
+
+    def clear_row_dfa(self, b: int) -> None:
+        """Deactivate the DFA for row ``b`` (state -1 = mask_pool path);
+        the table stays resident for the key-matched reuse fast path."""
+        with self._lock:
+            self.dfa_state = _set_scalar(
+                self.dfa_state, jnp.int32(-1), jnp.int32(b))
+
     # ------------------------------------------------------------------
     # The step
     # ------------------------------------------------------------------
@@ -619,41 +680,58 @@ class Engine:
             module_forward = self._forward
             kinds, k_cap = skey
 
-            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 9))
             def decode_scan(params, state, sampler_state, first_tokens,
-                            ctrl, sparams, bias, mask, rng):
+                            ctrl, sparams, bias, mask, dfa_tt, dstate,
+                            rng):
                 """ONE dispatch per chunk: the control vector packs
                 (active, budget, host-first mask, host-first values), the
                 rng chain advances inside, and the pre-chunk snapshots
                 come back as outputs — the launch path pays a single
                 host->device call instead of ~8 (each ~20 ms through the
-                device link)."""
+                device link).
+
+                Rows with ``dstate >= 0`` are grammar-constrained by the
+                device-resident token DFA: their allowed mask is the
+                state's table row (``>= 0``), the sampled token advances
+                the state, and a row whose state reaches the halt row
+                (``TH - 1``) FREEZES exactly like a spent budget — model
+                state, sampler state, and DFA state stop at the halting
+                token, so grammar completion needs no rollback."""
                 active = ctrl[0] > 0
                 budget = ctrl[1]
                 first_tokens = jnp.where(ctrl[2] > 0, ctrl[3], first_tokens)
                 B = first_tokens.shape[0]
+                TH = dfa_tt.shape[1]
                 rng, sub = jax.random.split(rng)
                 # Pre-chunk snapshots (device copies; XLA allocates fresh
                 # buffers because the donated inputs also flow to the
                 # updated outputs).
                 snap_state = jax.tree.map(lambda x: x + 0, state)
                 snap_ss = jax.tree.map(lambda x: x, sampler_state)
+                snap_dfa = dstate + 0
 
                 def body(carry, xs):
-                    state, ss, toks = carry
+                    state, ss, toks, ds = carry
                     rng_t, i = xs
+                    dfa_on = ds >= 0
                     # Per-step activity: a row freezes once it has drawn
-                    # ``budget`` tokens this chunk, so a LENGTH stop can
-                    # never over-consume state (no rollback needed).
-                    act_t = jnp.logical_and(active, i < budget)
+                    # ``budget`` tokens this chunk (a LENGTH stop can
+                    # never over-consume state) or its grammar halted.
+                    act_t = active & (i < budget) \
+                        & ~(dfa_on & (ds == TH - 1))
                     lengths = jnp.where(act_t, 1, 0).astype(jnp.int32)
                     hidden, state = module_forward(
                         params, state, toks[:, None], lengths)
                     logits = head_logits(params, hidden[:, 0])
+                    srow = jnp.take_along_axis(
+                        dfa_tt, jnp.maximum(ds, 0)[:, None, None],
+                        axis=1)[:, 0]
+                    eff_mask = jnp.where(dfa_on[:, None], srow >= 0, mask)
                     rand = jax.random.uniform(rng_t, (B,), jnp.float32)
                     t2, sp, ss2 = sampling.sample_with_rand(
                         rand, logits, sparams, ss,
-                        bias=bias, allowed_mask=mask, kinds=kinds,
+                        bias=bias, allowed_mask=eff_mask, kinds=kinds,
                         k_cap=k_cap)
                     ss2 = jax.tree.map(
                         lambda new, old: jnp.where(
@@ -661,13 +739,17 @@ class Engine:
                             new, old),
                         ss2, ss)
                     t2 = jnp.where(act_t, t2, toks)
-                    return (state, ss2, t2), (t2, sp)
+                    ds2 = jnp.take_along_axis(
+                        srow, t2[:, None], axis=1)[:, 0].astype(jnp.int32)
+                    ds = jnp.where(act_t & dfa_on, ds2, ds)
+                    return (state, ss2, t2, ds), (t2, sp)
 
                 rngs = jax.random.split(sub, K)
-                (state, ss, _), (toks_seq, sp_seq) = jax.lax.scan(
-                    body, (state, sampler_state, first_tokens),
+                (state, ss, _, dstate), (toks_seq, sp_seq) = jax.lax.scan(
+                    body, (state, sampler_state, first_tokens, dstate),
                     (rngs, jnp.arange(K, dtype=jnp.int32)))
-                return toks_seq, sp_seq, state, ss, snap_state, snap_ss, rng
+                return (toks_seq, sp_seq, state, ss, dstate,
+                        snap_state, snap_ss, snap_dfa, rng)
 
             fn = decode_scan
             self._decode_scans[(K, skey)] = fn
@@ -721,12 +803,14 @@ class Engine:
                 ctrl[3] = hvals
             first = first_tokens if hasattr(first_tokens, "devices")                 else jnp.asarray(np.asarray(first_tokens, np.int32))
             (toks_seq, sp_seq, self.state_pool, self.sampler_state,
-             snap_state, snap_ss, self._rng) = fn(
+             self.dfa_state, snap_state, snap_ss, snap_dfa,
+             self._rng) = fn(
                 self.model.params, self.state_pool, self.sampler_state,
                 first, jnp.asarray(ctrl),
-                self._sparams(), self.bias_pool, self.mask_pool, self._rng)
+                self._sparams(), self.bias_pool, self.mask_pool,
+                self.dfa_pool, self.dfa_state, self._rng)
             if steps > 1 and snapshot:
-                self._chunk_snaps.append((snap_state, snap_ss))
+                self._chunk_snaps.append((snap_state, snap_ss, snap_dfa))
                 del self._chunk_snaps[:-2]
             # Only the tokens cross to the host; the probs stay on device
             # (the chunk path never reads them, and the transfer is on the
@@ -742,7 +826,8 @@ class Engine:
         the exact pre-chunk arrays come back."""
         with self._lock:
             assert self._chunk_snaps, "no chunk snapshot"
-            self.state_pool, self.sampler_state = self._chunk_snaps.pop()
+            (self.state_pool, self.sampler_state,
+             self.dfa_state) = self._chunk_snaps.pop()
 
     def rollback_row(self, b: int, feed_tokens: list[int],
                      depth: int = -1) -> None:
@@ -823,7 +908,8 @@ class Engine:
                 try:
                     lowered.append(fn.lower(
                         *common, jnp.zeros(B, jnp.int32),
-                        jnp.zeros((4, B), jnp.int32), *tail))
+                        jnp.zeros((4, B), jnp.int32), tail[0], tail[1],
+                        tail[2], self.dfa_pool, self.dfa_state, tail[3]))
                 except Exception:
                     pass
 
@@ -958,6 +1044,12 @@ def _sample_only_jit(rng, row, b, B, sparams, sampler_state, bias, mask,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _set_pool_row(pool, vec, b):
     return jax.lax.dynamic_update_index_in_dim(pool, vec.astype(pool.dtype), b, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_scalar(vec, val, b):
+    return jax.lax.dynamic_update_index_in_dim(
+        vec, val.astype(vec.dtype), b, 0)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

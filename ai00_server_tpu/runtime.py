@@ -362,12 +362,31 @@ class _ReqCtx:
     bnf_misses: int = 0
     bnf_no_chunk: bool = False
     bnf_sticky: int = 0
+    # Speculation credit: True after the row's last chunk replay accepted
+    # every token under an unchanged mask.  A row without credit decodes
+    # at the base chunk size with NO chained successor — a mask change
+    # (grammar region exit) otherwise wastes a full in-flight 4x chunk of
+    # device compute (~1 s at 7B) plus the discarded suffix of the chunk
+    # it was detected in.  Credit is re-earned on the first full accept.
+    bnf_full_accept: bool = False
     # Mask-ahead: per-token BNF rows launch allowed_mask() on the
     # executor the moment the grammar advances, so the (1.5 ms cached /
     # ~100 ms first-visit) mask computation overlaps the rest of the
     # post-step host work instead of serializing before the next step
     # (SURVEY §7 hard part (d)).
     bnf_future: Any = None
+    # Device-resident grammar DFA (grammar.token_dfa_table, regular
+    # grammars only): the decode scan applies exact per-state masks and
+    # advances the state ON DEVICE — no replay mis-speculation, no
+    # rollbacks, full chunk speed.  dfa_future resolves to
+    # (table, state_map) or None (built off-loop at submit);
+    # dfa_stale marks host-side grammar advances (per-token accepts)
+    # that must be synced to the device before the next chunk launch.
+    dfa_future: Any = None
+    dfa_table: Any = None
+    dfa_map: Any = None
+    dfa_key: Any = None
+    dfa_stale: bool = False
 
 
 class Runtime:
@@ -434,6 +453,13 @@ class Runtime:
             "merged_step_s": 0.0,
             "rollbacks": 0,
             "spec_dead_rows": 0,
+            # BNF chunking diagnostics: accepted replay tokens, short
+            # chunks (acc<=2), per-token fallbacks entered, and sticky
+            # rehabilitations back into chunked decode.
+            "bnf_accepted": 0,
+            "bnf_short_chunks": 0,
+            "bnf_fallbacks": 0,
+            "bnf_rehabs": 0,
         }
 
     # ------------------------------------------------------------------
@@ -511,10 +537,21 @@ class Runtime:
         if request.bnf_schema:
             from .bnf import BnfFormatter
 
+            start_nt = self.bnf_option.get("start_nonterminal", "start")
             ctx.formatter = BnfFormatter(
                 request.bnf_schema, self.tokenizer, self.engine.vocab,
-                start_nonterminal=self.bnf_option.get(
-                    "start_nonterminal", "start"))
+                start_nonterminal=start_nt)
+            if (self.decode_chunk_size > 1
+                    and request.sampler.kind != sampling.KIND_MIROSTAT):
+                # Device-DFA table build (cached per grammar; ~100 ms
+                # first time) runs off-loop; _install awaits it.
+                from .grammar import token_dfa_table
+
+                ctx.dfa_key = (request.bnf_schema, start_nt)
+                ctx.dfa_future = asyncio.get_event_loop().run_in_executor(
+                    None, token_dfa_table, request.bnf_schema,
+                    self.tokenizer, self.engine.vocab, start_nt,
+                    self.engine.dfa_height - 1)
         self.pending.append(ctx)
         self._wake.set()
         return handle
@@ -709,6 +746,8 @@ class Runtime:
         rows whose grammar keeps shifting the mask (bnf_no_chunk)."""
         if ctx.formatter is None:
             return True
+        if ctx.dfa_table is not None:
+            return True  # device-DFA: exact masks inside the scan
         return (not ctx.bnf_no_chunk
                 and ctx.request.sampler.kind != sampling.KIND_MIROSTAT)
 
@@ -745,6 +784,7 @@ class Runtime:
                     ctx.bnf_no_chunk = False
                     ctx.bnf_misses = 0
                     ctx.bnf_sticky = 0
+                    self.metrics["bnf_rehabs"] += 1
             return
         ctx.bnf_sticky = 0
         ctx.bnf_mask = mask
@@ -797,7 +837,30 @@ class Runtime:
         if not active:
             return None
         for s in active:
-            if s.ctx.formatter is not None:
+            if s.ctx.formatter is None:
+                continue
+            if s.ctx.dfa_table is not None:
+                # Device-DFA row: no mask upload needed (the scan reads
+                # the state's table row); sync the device state if the
+                # host advanced the grammar outside a chunk (the prefill
+                # first token, exact-hit fast path).
+                if s.ctx.bnf_future is not None:
+                    await s.ctx.bnf_future
+                    s.ctx.bnf_future = None
+                if s.ctx.dfa_stale:
+                    st = s.ctx.dfa_map.get(
+                        int(getattr(s.ctx.formatter.engine, "state",
+                                    -1)))
+                    if st is None:
+                        # Unreachable in theory (every host accept walks
+                        # token transitions from row 0); fall back to the
+                        # replay path rather than serve a wrong mask.
+                        s.ctx.dfa_table = None
+                        await self._refresh_bnf_mask(loop, s)
+                        continue
+                    self.engine.set_row_dfa_state(s.index, st)
+                    s.ctx.dfa_stale = False
+            else:
                 await self._refresh_bnf_mask(loop, s)
         mask = np.zeros(B, np.bool_)
         budget = np.zeros(B, np.int32)
@@ -844,11 +907,17 @@ class Runtime:
         latency/throughput knob: the 4x bucket amortizes the dispatch
         round-trip whenever no request is waiting to join mid-chunk
         (pending admission or an active prefill); new arrivals join at
-        base-chunk granularity."""
+        base-chunk granularity.  BNF rows must also hold speculation
+        credit (last replay fully accepted): right after a grammar region
+        exit the next mask change is near, so a 4x chunk would mostly be
+        discarded suffix."""
         base = self.decode_chunk_size
         if not self.pending and all(
-                s.phase == _SlotPhase.DECODE for s in self.slots
-                if s.ctx is not None):
+                s.phase == _SlotPhase.DECODE
+                and (s.ctx.formatter is None
+                     or s.ctx.dfa_table is not None
+                     or s.ctx.bnf_full_accept)
+                for s in self.slots if s.ctx is not None):
             return base * 4
         return base
 
@@ -876,6 +945,16 @@ class Runtime:
         K = spec["K"]
         live = [(s, c) for (s, c) in spec["entries"] if s.ctx is c]
         newspec = None
+        # Only rows with speculation credit ride the chained successor: a
+        # BNF row whose last replay was cut by a mask change is likely to
+        # be cut again, and its successor tokens would be pure waste (the
+        # successor is launched BEFORE this consume's replay can rule).
+        # Device-DFA rows always have credit — their masks are exact
+        # inside the scan, so a successor can never be invalidated.
+        chunkable = [s for s in chunkable
+                     if s.ctx.formatter is None
+                     or s.ctx.dfa_table is not None
+                     or s.ctx.bnf_full_accept]
         if self._speculative and chunkable and len(live) == len(
                 spec["entries"]) and spec["rows"].issubset(
                     frozenset(s.index for s in chunkable)):
@@ -920,6 +999,18 @@ class Runtime:
                     c.bnf_future = None
 
             def _replay(ctx, toks):
+                if ctx.dfa_table is not None:
+                    # Device-DFA row: every token was sampled under the
+                    # exact per-step mask ON DEVICE — the host walk only
+                    # advances the grammar books and finds the halt
+                    # position (the scan froze the row there).
+                    acc, halted = 0, False
+                    for t in toks:
+                        halted = ctx.formatter.accept(int(t))
+                        acc += 1
+                        if halted:
+                            break
+                    return acc, halted, None
                 acc, halted, new_mask = 0, False, None
                 for t in toks:
                     halted = ctx.formatter.accept(int(t))
@@ -997,17 +1088,32 @@ class Runtime:
         """
         b = s.index
         acc, halted, new_mask = replay
+        # Device-DFA rows freeze ON DEVICE at the halting token: tokens
+        # past ``acc`` were never consumed (the scan emitted frozen
+        # copies), so the books end at ``acc`` and no rollback is needed
+        # — the successor kept the row frozen too.
+        dfa_halt = ctx.dfa_table is not None and halted
+        if ctx.dfa_table is not None and acc:
+            # The replay advanced the HOST formatter; the host mask
+            # (mask_pool, used only by merged per-token steps) is now
+            # stale and must be recomputed if this row ever takes one
+            # (e.g. a mixed prefill+decode step while a new request
+            # admits).  The DEVICE state needs no sync — the scan
+            # advanced it in lockstep.
+            ctx.bnf_dirty = True
         reason = None
         for j in range(acc):
             reason = await self._postprocess_token(
                 s, row[j], halted=(halted and j == acc - 1))
             if reason is not None:
                 # Honest books for the rest of what the scan consumed.
-                ctx.all_tokens.extend(row[j + 1:])
+                ctx.all_tokens.extend(row[j + 1: acc if dfa_halt
+                                          else len(row)])
                 break
 
         if reason is not None:
-            if newspec is not None and b in newspec["rows"]:
+            if (newspec is not None and b in newspec["rows"]
+                    and not dfa_halt):
                 newspec["dead"].add(b)
                 self.metrics["rollbacks"] += 1
                 await loop.run_in_executor(
@@ -1016,13 +1122,16 @@ class Runtime:
             await self._finalize(s, reason)
             return
 
+        self.metrics["bnf_accepted"] += acc
         if new_mask is None:
             # Full chunk accepted under an unchanged mask: nothing to fix.
             ctx.bnf_misses = 0
+            ctx.bnf_full_accept = True
             return
 
         # Mis-speculation: tokens past ``acc`` were sampled under a stale
         # mask.  Resume the row at its accepted prefix.
+        ctx.bnf_full_accept = False
         self.metrics["rollbacks"] += 1
         if newspec is not None and b in newspec["rows"]:
             newspec["dead"].add(b)
@@ -1052,7 +1161,10 @@ class Runtime:
         # to per-token merged stepping for this request.
         if acc <= 2:
             ctx.bnf_misses += 1
+            self.metrics["bnf_short_chunks"] += 1
             if ctx.bnf_misses >= 2:
+                if not ctx.bnf_no_chunk:
+                    self.metrics["bnf_fallbacks"] += 1
                 ctx.bnf_no_chunk = True
         else:
             ctx.bnf_misses = 0
@@ -1193,6 +1305,20 @@ class Runtime:
                     bias[int(t)] = v
         eng.set_row_bias(b, bias)
         eng.set_row_mask(b, None)
+        if ctx.dfa_future is not None:
+            res = await ctx.dfa_future
+            ctx.dfa_future = None
+            if res is not None:
+                ctx.dfa_table, ctx.dfa_map = res
+        if ctx.dfa_table is not None:
+            # Grammar starts fresh at generation start: table row 0.
+            # The first token is sampled by the prefill step under the
+            # host-uploaded mask; the device state is synced to the
+            # grammar before the first chunk launch (dfa_stale).
+            eng.set_row_dfa(b, ctx.dfa_table, 0, key=ctx.dfa_key)
+            ctx.dfa_stale = False
+        else:
+            eng.clear_row_dfa(b)
 
         # In-flight cache future for this prompt (run.rs:191-205).
         if (len(ctx.prompt_tokens) >= MIN_PROMPT_CACHE_TOKENS
@@ -1348,11 +1474,13 @@ class Runtime:
                     ctx.bnf_future = None
                 halted = ctx.formatter.accept(token)
                 ctx.bnf_dirty = True
-                if not halted:
+                ctx.dfa_stale = True  # host advanced outside a chunk
+                if not halted and ctx.dfa_table is None:
                     # Mask-ahead: start the next allowed-mask computation
                     # now; _refresh_bnf_mask collects it before the next
                     # step (per-token rows only — chunked rows compute
-                    # masks inside their replay).
+                    # masks inside their replay; device-DFA rows never
+                    # take per-token masked steps after this one).
                     ctx.bnf_future = asyncio.get_event_loop() \
                         .run_in_executor(None, ctx.formatter.allowed_mask)
             else:

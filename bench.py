@@ -55,7 +55,8 @@ BASELINE_TOK_S = 11.6  # reference doc-example tok/s (module docstring)
 _METRIC_KEYS = ("steps", "step_seconds", "chunk_wait_s", "launch_s",
                 "chunk_launches", "chunk_successors", "merged_steps",
                 "merged_step_s", "decode_tokens", "prefill_tokens",
-                "rollbacks", "spec_dead_rows")
+                "rollbacks", "spec_dead_rows", "bnf_accepted",
+                "bnf_short_chunks", "bnf_fallbacks", "bnf_rehabs")
 
 WORLD_VOCAB = os.environ.get(
     "BENCH_TOKENIZER",
@@ -400,18 +401,30 @@ async def bench_e2e(model, engine, conc=16, n_tokens=256, chunk=16,
             gen_res = results[:conc]
             emb_lat = results[conc:]
             total = sum(r[0] for r in gen_res)
+            # embed_qps divides by the FULL mixed wall (dominated by the
+            # 8 generation streams — it can never exceed mixed/gen_wall
+            # no matter how fast embeds are); embed_drain_qps divides by
+            # the time the LAST embed completed, the actual embed
+            # throughput under generation load.
+            drain = max(emb_lat)
             return {
                 "tok_s": round(total / wall, 1),
                 "decode_tokens": total, "wall_s": round(wall, 2),
                 "embed_qps": round(mixed / wall, 1),
+                "embed_drain_qps": round(mixed / drain, 1),
                 "embed_p50_s": round(float(np.median(emb_lat)), 3),
+                "embed_p99_s": round(float(np.quantile(emb_lat, 0.99)), 3),
                 "warm_s": round(warm_s, 1),
             }
         if conc == 1:
             # Single stream: SSE-timed so prefill separates from the
             # decode rate.  One warm pass compiles, second measures.
             await one_stream(0)
+            m0 = {k: runtime.metrics.get(k, 0) for k in _METRIC_KEYS}
             d = await one_stream(0)
+            d["runtime_metrics"] = {
+                k: round(runtime.metrics.get(k, 0) - m0[k], 3)
+                for k in _METRIC_KEYS}
             gaps = d.pop("gaps", [])
             if gaps:
                 d["tok_lat_p50_ms"] = round(

@@ -711,6 +711,66 @@ def test_speculative_abort_discards_cleanly(stack):
     assert len(text2) >= 1
 
 
+def test_bnf_speculation_credit(stack):
+    """BNF rows only ride the chained speculative successor after a
+    full-accept replay (speculation credit): a sticky grammar earns
+    credit and pipelines, a shifting grammar never does — its chunks stay
+    at base K with no successor, so a region exit cannot waste a chained
+    4x chunk of device compute (the r5 7B ctx-8192 failure: ~48% of
+    decode scan tokens discarded).  The device DFA is disabled here
+    (AI00_DFA_STATES=2 makes every table build overflow) to force the
+    host replay path the credit gate protects; a final DFA-on run shows
+    the same shifting grammar needs no fallback at all on device."""
+    import os
+
+    info, model, tok = stack
+
+    async def run(schema, max_tokens, dfa_states=None):
+        old = os.environ.get("AI00_DFA_STATES")
+        if dfa_states is not None:
+            os.environ["AI00_DFA_STATES"] = str(dfa_states)
+        try:
+            eng = Engine(model, max_batch=4, token_chunk_size=8,
+                         state_dtype=jnp.float32)
+        finally:
+            if dfa_states is not None:
+                if old is None:
+                    os.environ.pop("AI00_DFA_STATES", None)
+                else:
+                    os.environ["AI00_DFA_STATES"] = old
+        rt = Runtime(eng, tok, decode_chunk_size=4)
+        rt.start()
+        text, reason, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt="ABC", max_tokens=max_tokens,
+            bnf_schema=schema, sampler=greedy_spec())))
+        m = dict(rt.metrics)
+        await rt.stop()
+        return text, m
+
+    # Sticky mask (DFA off): after the first full accept the row earns
+    # credit and chained successors flow.
+    text, m = run_async(run("start ::= #'[A-D]{30}';", 30, dfa_states=2))
+    assert len(text) == 30
+    assert m["chunk_successors"] > 0, m
+    assert m["bnf_accepted"] > 0, m
+
+    # Shifting mask (changes every token; DFA off): the row never earns
+    # credit — no successor is ever chained for it, and the short-chunk
+    # fallback parks it per-token.
+    text, m = run_async(run("start ::= #'(AB|CD){8}E';", 20, dfa_states=2))
+    assert len(text) == 17, text
+    assert m["chunk_successors"] == 0, m
+    assert m["bnf_short_chunks"] > 0, m
+
+    # Same shifting grammar with the device DFA: exact per-step masks
+    # inside the scan — successors flow, zero rollbacks, zero fallbacks.
+    text, m = run_async(run("start ::= #'(AB|CD){8}E';", 20))
+    assert len(text) == 17, text
+    assert m["rollbacks"] == 0, m
+    assert m["bnf_short_chunks"] == 0, m
+    assert m["chunk_successors"] > 0, m
+
+
 def test_bnf_chunked_equals_per_token(stack):
     """BNF rows join the K-token decode chunk with replay validation;
     output must be identical to per-token stepping for both a sticky-mask
