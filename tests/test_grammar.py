@@ -237,3 +237,53 @@ def test_bnf_formatter_uses_dfa_for_regular(tiny_tokenizer):
     assert halted, out
     ear = GrammarEngine(schema)
     assert ear.advance(out) and ear.can_finish(), out
+
+
+def test_token_dfa_table_matches_formatter(tiny_tokenizer):
+    """The device token-DFA table (grammar.token_dfa_table) is exact:
+    along every mask-following walk, the table row's allowed set equals
+    the BnfFormatter's host mask, the state advance tracks the
+    formatter's byte-DFA state, and a halt entry (H) fires exactly when
+    the formatter's accept() reports grammar completion."""
+    from ai00_server_tpu.grammar import token_dfa_table
+
+    tok = tiny_tokenizer
+    V = tok.vocab_len
+    schemas = [
+        "start ::= 'yes' | 'no';",
+        JSON_STICKY,
+        "start ::= digit digit digit; digit ::= #'[0-9]';",
+    ]
+    for schema in schemas:
+        res = token_dfa_table(schema, tok, V, max_states=63)
+        assert res is not None, schema
+        table, smap = res
+        H = table.shape[0] - 1
+        # Exhaustive DFS over every token-reachable state: masks match
+        # the formatter driven to the same state.
+        for bstate, ridx in list(smap.items()):
+            f = BnfFormatter(schema, tok, V)
+            # Drive the formatter's byte engine directly to bstate.
+            f.engine.state = bstate
+            row = table[ridx]
+            want = f.allowed_mask()
+            got = row >= 0
+            assert np.array_equal(got, want), (schema, bstate)
+        # A mask-following walk: halts exactly when accept() halts.
+        f = BnfFormatter(schema, tok, V)
+        state = 0
+        for _ in range(64):
+            row = table[state]
+            ids = [t for t in np.nonzero(row >= 0)[0]
+                   if t == 0 or tok.token_to_bytes(int(t))]
+            assert ids
+            pick = int(ids[-1])
+            halted = f.accept(pick) if pick else True
+            nxt = int(row[pick])
+            if nxt == H:
+                assert halted or pick == 0, (schema, pick)
+                break
+            assert not halted, (schema, pick)
+            state = nxt
+        else:
+            pytest.fail(f"walk never halted: {schema}")
