@@ -170,6 +170,9 @@ class Engine:
         # ONE prefill, not prefill + a dedicated re-forward
         # (read_row_hidden_sum).
         self.hsum_pool = jnp.zeros((B, self.info.num_emb), jnp.float32)
+        # Bumped on every hsum_pool mutation (step, row load): readers
+        # use it to coalesce whole-pool downloads (read_hidden_sums).
+        self.hsum_serial = 0
         # Device-resident token-level grammar DFA (regular grammars,
         # grammar.token_dfa_table): per-row (TH, V) int8 table where
         # entry -1 = token disallowed, TH-1 = halt, else next state; the
@@ -348,6 +351,7 @@ class Engine:
         self.state_pool = self._write_row(
             self.state_pool, row_state, jnp.int32(b))
         self.hsum_pool = _zero_row(self.hsum_pool, jnp.int32(b))
+        self.hsum_serial += 1
 
     def read_row_hidden_sum(self, b: int) -> np.ndarray:
         """Row b's running masked hidden-state sum (f32, C) accumulated
@@ -359,6 +363,16 @@ class Engine:
             v = jax.lax.dynamic_index_in_dim(
                 self.hsum_pool, jnp.int32(b), 0, keepdims=False)
         return np.asarray(v)
+
+    def read_hidden_sums(self) -> np.ndarray:
+        """The WHOLE (B, C) hidden-sum pool in one device->host transfer
+        (f32; 64 KB-1 MB — far cheaper than per-row pulls at ~RTT each).
+        The runtime coalesces embed readouts through this when several
+        embed rows complete in the same step (one pull per
+        ``hsum_serial``), cutting N tunnel round-trips to one."""
+        with self._lock:
+            pool = self.hsum_pool
+        return np.asarray(pool)
 
     def read_row_state(self, b: int):
         """Device->host copy of row b's state as a batch-1 pytree."""
@@ -654,6 +668,7 @@ class Engine:
                 jnp.asarray(sample_mask, jnp.bool_),
                 sparams, self.bias_pool, self.mask_pool, sub,
                 self.hsum_pool, want_logits)
+            self.hsum_serial += 1
             return StepResult(
                 tokens=np.asarray(toks),
                 sampled_probs=np.asarray(sp),

@@ -436,6 +436,9 @@ class Runtime:
 
         self._device_pool = _cf.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="engine-drive")
+        # (hsum_serial, (B, C) np) — coalesced embed-readout snapshot;
+        # only touched from _device_pool (single thread).
+        self._hsum_snap = None
 
         self.metrics = {
             "steps": 0,
@@ -1531,10 +1534,18 @@ class Runtime:
                 # Default init state: mean-hidden readout off the hidden
                 # sums the serving prefill ALREADY accumulated (install
                 # forced a fresh-state full-prompt prefill for this row),
-                # so an embed costs exactly one forward.
+                # so an embed costs exactly one forward.  The pool pull
+                # is COALESCED: when several embed rows complete in the
+                # same step, the first readout downloads the whole
+                # (B, C) pool once (hsum_serial-keyed snapshot) and the
+                # rest slice it — N tunnel round-trips become one.
                 def _mean(b=slot.index, n=len(ctx.prompt_tokens)):
-                    v = self.engine.read_row_hidden_sum(b)
-                    v = (v / max(n, 1)).astype(np.float64)
+                    snap = self._hsum_snap
+                    serial = self.engine.hsum_serial
+                    if snap is None or snap[0] != serial:
+                        snap = (serial, self.engine.read_hidden_sums())
+                        self._hsum_snap = snap
+                    v = (snap[1][b] / max(n, 1)).astype(np.float64)
                     return (v / max(float(np.linalg.norm(v)), 1e-12)
                             ).astype(np.float32)
 
