@@ -544,10 +544,13 @@ class Runtime:
             ctx.formatter = BnfFormatter(
                 request.bnf_schema, self.tokenizer, self.engine.vocab,
                 start_nonterminal=start_nt)
-            if (self.decode_chunk_size > 1
-                    and request.sampler.kind != sampling.KIND_MIROSTAT):
+            if self.decode_chunk_size > 1:
                 # Device-DFA table build (cached per grammar; ~100 ms
                 # first time) runs off-loop; _install awaits it.
+                # Mirostat rows qualify too: the DFA path has no
+                # mis-speculation, so the adaptive sampler state never
+                # needs the host rebuild that bars mirostat from the
+                # replay path (_can_chunk).
                 from .grammar import token_dfa_table
 
                 ctx.dfa_key = (request.bnf_schema, start_nt)

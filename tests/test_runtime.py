@@ -803,3 +803,43 @@ def test_bnf_chunked_equals_per_token(stack):
         ref = run_async(run(1, schema))
         chk = run_async(run(4, schema))
         assert chk == ref, (schema, chk, ref)
+
+
+def test_bnf_mirostat_rides_device_dfa(stack):
+    """Mirostat + regular grammar: the replay path bars mirostat (its
+    adaptive state cannot be host-rebuilt after a mis-speculation), but
+    the device DFA has NO mis-speculation — mirostat rows chunk at full
+    speed and the output is still grammar-exact."""
+    from ai00_server_tpu.grammar import GrammarEngine
+
+    info, model, tok = stack
+    schema = ("start ::= '{' text '}';\n"
+              "text ::= tchar | tchar text;\n"
+              "tchar ::= 'A'|'B'|'C'|'D';\n")
+
+    async def run():
+        eng = Engine(model, max_batch=4, token_chunk_size=8,
+                     state_dtype=jnp.float32)
+        rt = Runtime(eng, tok, decode_chunk_size=4)
+        rt.start()
+        text, reason, *_ = await collect(await rt.submit(GenerateRequest(
+            prompt="ABC", max_tokens=24, bnf_schema=schema,
+            sampler=SamplerSpec(kind=sampling.KIND_MIROSTAT,
+                                presence_penalty=0.0,
+                                frequency_penalty=0.0))))
+        m = dict(rt.metrics)
+        await rt.stop()
+        return text, reason, m
+
+    text, reason, m = run_async(run())
+    # Chunked DFA path engaged: real chunk launches, zero rollbacks and
+    # zero per-token fallbacks despite mirostat.
+    assert m["chunk_launches"] > 0, m
+    assert m["rollbacks"] == 0, m
+    assert m["bnf_fallbacks"] == 0, m
+    # Output is a valid derivation (complete or a live prefix).
+    e = GrammarEngine(schema)
+    assert text.startswith("{"), text
+    assert e.advance(text.encode()), text
+    if reason == FinishReason.STOP:
+        assert e.can_finish() or text.endswith("}"), text
