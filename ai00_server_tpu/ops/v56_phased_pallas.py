@@ -93,11 +93,19 @@ def _geometry(params, version: str):
 
 
 def pick_na(C, F, H, N, batch, esize, version="V6",
-            max_bytes=92 * 1024 * 1024):
+            max_bytes=76 * 1024 * 1024):
     """Smallest tile count whose windows satisfy alignment and fit the
     VMEM budget; None if impossible.  Same constraints as the v7 kernel
     but with EIGHT double-buffered weight windows (five C x C att
-    projections + three channel-mix matrices)."""
+    projections + three channel-mix matrices).
+
+    The budget is deliberately below the 128 MB hardware VMEM: the v6
+    body's extra lora/maa stages cost the register allocator ~15 MB of
+    spill slots on top of the modeled windows (measured: the 7B v6 int8
+    geometry at the old 92 MB budget picked na=4, modeled 88 MB, and
+    Mosaic compiled it to 128.75 MB — 768 KB over hardware capacity;
+    na=8 compiles and runs).  76 MB keeps ~comparable real headroom
+    across geometries without modeling the spill term explicitly."""
     hc = min(HEAD_GROUP, H)
     # Per-layer smalls (double-buffered): mixes/ln/loras stay in MODEL
     # dtype (2 bytes) regardless of big-projection quantization (esize
